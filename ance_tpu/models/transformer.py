@@ -1,0 +1,179 @@
+"""Post-LN transformer encoder (RoBERTa/BERT family) in flax.linen.
+
+Covers both backbones the reference uses through one module:
+  * RoBERTa-base for the ANCE dual encoder (reference model/models.py:137-157)
+  * BERT-base towers for the DPR BiEncoder (reference model/models.py:223-271)
+
+The differences are config-only: position-id scheme (RoBERTa offsets past the
+pad id, BERT uses arange), type-vocab size, and pad id. Compute dtype is a
+knob (bf16 on TPU); parameters and softmax/LayerNorm accumulation stay fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ance_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    pad_token_id: int = 1
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    initializer_range: float = 0.02
+    position_style: str = "roberta"  # "roberta" | "bert"
+    dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on TPU)
+    attention_impl: str = "xla"      # "xla" | "flash"
+
+    @staticmethod
+    def roberta_base(**kw) -> "EncoderConfig":
+        return EncoderConfig(**kw)
+
+    @staticmethod
+    def bert_base(**kw) -> "EncoderConfig":
+        defaults = dict(vocab_size=30522, max_position_embeddings=512,
+                        type_vocab_size=2, pad_token_id=0,
+                        layer_norm_eps=1e-12, position_style="bert")
+        defaults.update(kw)
+        return EncoderConfig(**defaults)
+
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
+    """RoBERTa position ids: cumulative count of non-pad tokens, offset by pad id.
+
+    Matches HF ``create_position_ids_from_input_ids`` used by the reference's
+    RoBERTa backbone.
+    """
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_token_id
+
+
+class Embeddings(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+                        name="word_embeddings")(input_ids)
+        if position_ids is None:
+            if cfg.position_style == "roberta":
+                position_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
+            else:
+                position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=init, name="position_embeddings")(position_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
+                       name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="layer_norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x.astype(cfg.dtype)
+
+
+class SelfAttention(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        B, S, _ = x.shape
+        H, D = cfg.num_heads, cfg.head_dim()
+
+        def proj(name):
+            y = nn.Dense(cfg.hidden_size, kernel_init=init, name=name,
+                         dtype=cfg.dtype)(x)
+            return y.reshape(B, S, H, D)
+
+        q, k, v = proj("query"), proj("key"), proj("value")
+        ctx = multi_head_attention(q, k, v, attention_mask,
+                                   impl=cfg.attention_impl)
+        ctx = ctx.reshape(B, S, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, kernel_init=init, name="out",
+                       dtype=cfg.dtype)(ctx)
+        return nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+
+
+class Mlp(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        h = nn.Dense(cfg.intermediate_size, kernel_init=init,
+                     name="intermediate", dtype=cfg.dtype)(x)
+        h = nn.gelu(h, approximate=False)  # HF BERT/RoBERTa use exact gelu
+        h = nn.Dense(cfg.hidden_size, kernel_init=init, name="output",
+                     dtype=cfg.dtype)(h)
+        return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool = True):
+        cfg = self.config
+        attn = SelfAttention(cfg, name="attention")(
+            x, attention_mask, deterministic)
+        # Post-LN residual structure (BERT); LayerNorm accumulates in fp32.
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False,
+                         name="attention_layer_norm")(
+            (x + attn).astype(jnp.float32)).astype(cfg.dtype)
+        mlp = Mlp(cfg, name="mlp")(x, deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="output_layer_norm")(
+            (x + mlp).astype(jnp.float32)).astype(cfg.dtype)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Token ids → contextual hidden states [B, S, hidden]."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        x = Embeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        for i in range(cfg.num_layers):
+            x = EncoderLayer(cfg, name=f"layer_{i}")(
+                x, attention_mask, deterministic)
+        return x
+
+
+def pool(hidden: jax.Array, attention_mask: jax.Array,
+         use_mean: bool) -> jax.Array:
+    """CLS-token or masked-mean pooling (reference model/models.py:38-49)."""
+    if not use_mean:
+        return hidden[:, 0]
+    mask = attention_mask.astype(hidden.dtype)[:, :, None]
+    s = jnp.sum(hidden * mask, axis=1)
+    d = jnp.sum(attention_mask.astype(hidden.dtype), axis=1, keepdims=True)
+    return s / d

@@ -1,0 +1,60 @@
+"""Multi-head attention compute paths.
+
+Two interchangeable implementations:
+
+  * ``xla``    — einsum + fp32 softmax; XLA fuses this well on TPU and it is
+                 the reference semantics (HF BERT/RoBERTa scaled dot-product
+                 attention, reference model cuBLAS path models.py:150-151).
+  * ``flash``  — Pallas blocked flash-attention kernel (ops/flash_attention.py)
+                 for the TPU hot loop; numerically equivalent (online softmax).
+
+Selection is a config knob so CPU test meshes use ``xla`` while TPU runs use
+``flash``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # additive mask bias; large enough to zero out softmax weight
+
+
+def mask_to_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, S] {0,1} mask → [B, 1, 1, S] additive bias (0 keep / NEG_INF drop)."""
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+    return bias[:, None, None, :].astype(dtype)
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  bias: jax.Array | None = None) -> jax.Array:
+    """Scaled dot-product attention, softmax accumulated in fp32.
+
+    q/k/v: [B, S, H, D]; bias broadcastable to [B, H, S, S]. Returns [B, S, H, D].
+    """
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(depth).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_fn():
+    from ance_tpu.ops.flash_attention import flash_attention
+    return flash_attention
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         attention_mask: jax.Array | None = None,
+                         *, impl: str = "xla") -> jax.Array:
+    """Dispatch over attention implementations. q/k/v: [B, S, H, D]."""
+    if impl == "flash":
+        return _flash_fn()(q, k, v, attention_mask)
+    bias = None if attention_mask is None else mask_to_bias(attention_mask)
+    return xla_attention(q, k, v, bias)
