@@ -1,0 +1,95 @@
+"""LAMB parity vs a torch re-execution of the reference update rule
+(reference utils/lamb.py:95-121), plus schedule shape checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ance_tpu.optim.lamb import reference_lamb
+from ance_tpu.optim.schedules import warmup_cosine, warmup_linear
+
+torch = pytest.importorskip("torch")
+
+
+def torch_reference_lamb_step(p, grad, m, v, lr, b1, b2, eps, wd, adam):
+    """Reference utils/lamb.py:95-121 update, executed with torch ops."""
+    m = b1 * m + (1 - b1) * grad
+    v = b2 * v + (1 - b2) * grad * grad
+    adam_step = m / (v.sqrt() + eps)
+    if wd != 0:
+        adam_step = adam_step + wd * p
+    weight_norm = p.pow(2).sum().sqrt().clamp(0, 10)
+    adam_norm = adam_step.pow(2).sum().sqrt()
+    if weight_norm == 0 or adam_norm == 0:
+        trust_ratio = 1.0
+    else:
+        trust_ratio = (weight_norm / adam_norm).item()
+    if adam:
+        trust_ratio = 1.0
+    p = p - lr * trust_ratio * adam_step
+    return p, m, v
+
+
+@pytest.mark.parametrize("wd,adam", [(0.0, False), (0.01, False), (0.0, True)])
+def test_lamb_matches_reference_math(wd, adam):
+    rs = np.random.RandomState(0)
+    shapes = {"w": (16, 8), "b": (8,), "big": (64,)}
+    params = {k: rs.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    params["big"] = params["big"] * 10.0  # push ‖w‖ past the clamp at 10
+    lr, b1, b2, eps = 2e-3, 0.9, 0.999, 1e-6
+
+    opt = reference_lamb(lr, b1, b2, eps, weight_decay=wd, adam=adam)
+    jp = {k: jnp.asarray(v) for k, v in params.items()}
+    state = opt.init(jp)
+
+    tp = {k: torch.tensor(v.copy()) for k, v in params.items()}
+    tm = {k: torch.zeros_like(t) for k, t in tp.items()}
+    tv = {k: torch.zeros_like(t) for k, t in tp.items()}
+
+    step = jax.jit(lambda g, s, p: opt.update(g, s, p))
+    for it in range(5):
+        grads = {k: rs.randn(*shapes[k]).astype(np.float32)
+                 for k in shapes}
+        jg = {k: jnp.asarray(v) for k, v in grads.items()}
+        updates, state = step(jg, state, jp)
+        jp = jax.tree.map(lambda p, u: p + u, jp, updates)
+        for k in shapes:
+            tp[k], tm[k], tv[k] = torch_reference_lamb_step(
+                tp[k], torch.tensor(grads[k]), tm[k], tv[k],
+                lr, b1, b2, eps, wd, adam)
+    for k in shapes:
+        np.testing.assert_allclose(np.asarray(jp[k]), tp[k].numpy(),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"leaf {k} diverged")
+
+
+def test_lamb_zero_param_trust_ratio_is_one():
+    """weight_norm==0 → trust ratio 1 (reference lamb.py:111-112)."""
+    opt = reference_lamb(1.0, eps=1e-6)
+    p = {"z": jnp.zeros(4)}
+    state = opt.init(p)
+    g = {"z": jnp.ones(4)}
+    updates, _ = opt.update(g, state, p)
+    # m=0.1, v=0.001, adam_step=0.1/(0.0316+1e-6)≈3.162; trust=1; u=-lr*step
+    expect = -(0.1 / (np.sqrt(0.001) + 1e-6)) * np.ones(4)
+    np.testing.assert_allclose(np.asarray(updates["z"]), expect, rtol=1e-5)
+
+
+def test_warmup_linear_schedule():
+    s = warmup_linear(1.0, warmup_steps=10, total_steps=110)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 0.5)
+    np.testing.assert_allclose(float(s(10)), 1.0)
+    np.testing.assert_allclose(float(s(60)), 0.5)
+    np.testing.assert_allclose(float(s(110)), 0.0)
+    assert float(s(200)) == 0.0
+
+
+def test_warmup_cosine_schedule():
+    s = warmup_cosine(2.0, warmup_steps=10, total_steps=110)
+    np.testing.assert_allclose(float(s(5)), 1.0)
+    np.testing.assert_allclose(float(s(10)), 2.0, atol=1e-6)
+    np.testing.assert_allclose(float(s(60)), 1.0, atol=1e-5)  # cos midpoint
+    np.testing.assert_allclose(float(s(110)), 0.0, atol=1e-6)
