@@ -1,0 +1,191 @@
+"""Exact (brute-force) inner-product top-k index.
+
+TPU-native replacement for FAISS ``IndexFlatIP`` (reference
+run_ann_data_gen.py:265-272, 303) and the index-free
+``faiss.knn_inner_product`` entry point (reference utils/eval_mrr.py:62-91).
+
+Design (SURVEY.md §7.1 "index/"):
+  * corpus embeddings live in device memory, [N, D];
+  * queries stream against the corpus in row-chunks under ``lax.scan`` with a
+    running top-k merge — the full [Q, N] score matrix never materializes;
+  * multi-chip: corpus row-sharded over a mesh axis via ``shard_map``; each
+    shard computes a local top-k against its rows (ids offset to global),
+    then an ``all_gather`` of the tiny [Q, k] candidate sets + final merge.
+    Collectives move k·Q scores, never the corpus.
+
+Exactness: identical result set to FAISS FlatIP at equal dtype (it is the
+same exhaustive computation; only tie order may differ).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _pad_rows(x: np.ndarray | jax.Array, multiple: int):
+    n = x.shape[0]
+    padded = (n + multiple - 1) // multiple * multiple
+    if padded == n:
+        return x, n
+    pad = jnp.zeros((padded - n,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([jnp.asarray(x), pad], axis=0), n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_rows"))
+def topk_inner_product(queries: jax.Array, corpus: jax.Array, *, k: int,
+                       chunk_rows: int = 16384,
+                       valid_rows: Optional[jax.Array] = None):
+    """Exact top-k by inner product. Returns (scores [Q,k], ids [Q,k] int32).
+
+    ``corpus`` rows beyond ``valid_rows`` (used for padding) score −inf.
+    Streaming scan over corpus chunks keeps peak memory at
+    Q·(chunk_rows + 2k) floats.
+    """
+    Q = queries.shape[0]
+    N = corpus.shape[0]
+    if valid_rows is None:
+        valid_rows = jnp.asarray(N, jnp.int32)
+    chunk_rows = min(chunk_rows, N)
+    n_chunks = -(-N // chunk_rows)
+    padded_n = n_chunks * chunk_rows
+    corpus_p = jnp.pad(corpus, ((0, padded_n - N), (0, 0))) \
+        if padded_n != N else corpus
+    chunks = corpus_p.reshape(n_chunks, chunk_rows, corpus.shape[1])
+
+    qf = queries.astype(jnp.float32)
+
+    def body(carry, chunk_data):
+        best_s, best_i = carry
+        chunk, chunk_idx = chunk_data
+        base = chunk_idx * chunk_rows
+        # [Q, chunk_rows] — the MXU hot op; fp32 accumulation
+        s = jax.lax.dot_general(
+            qf, chunk.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(ids < valid_rows, s, NEG_INF)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    init = (jnp.full((Q, k), NEG_INF, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32))
+    (scores, ids), _ = jax.lax.scan(
+        body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32)))
+    return scores, ids
+
+
+def merge_topk(scores: jax.Array, ids: jax.Array, k: int):
+    """Merge candidate sets: [..., S, Q, k] → final [Q, k] (top-k of union)."""
+    s = jnp.moveaxis(scores, -3, -2).reshape(scores.shape[-2], -1)
+    i = jnp.moveaxis(ids, -3, -2).reshape(ids.shape[-2], -1)
+    top_s, pos = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(i, pos, axis=1)
+
+
+class FlatIPIndex:
+    """Exact IP index over device-resident embeddings.
+
+    Single-device by default; pass a ``mesh`` + ``axis`` to shard corpus rows
+    across devices (the refresh loop keeps these shards resident in HBM and
+    swaps segments in place, SURVEY.md §5.8).
+    """
+
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None,
+                 axis: str = "data", dtype=jnp.float32,
+                 chunk_rows: int = 16384):
+        self.dim = dim
+        self.mesh = mesh
+        self.axis = axis
+        self.dtype = dtype
+        self.chunk_rows = chunk_rows
+        self._emb: Optional[jax.Array] = None
+        self._ntotal = 0
+        self._search = None
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    def _n_shards(self) -> int:
+        return self.mesh.shape[self.axis] if self.mesh is not None else 1
+
+    def add(self, embeddings) -> None:
+        """(Re)build the index contents. Rows are padded to a multiple of the
+        shard count; padded rows never surface (scored −inf)."""
+        emb = jnp.asarray(embeddings, self.dtype)
+        n_shards = self._n_shards()
+        emb, self._ntotal = _pad_rows(emb, n_shards)
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P(self.axis, None))
+            emb = jax.device_put(emb, sharding)
+        self._emb = emb
+        self._search = None
+
+    def reset(self) -> None:
+        self._emb, self._ntotal, self._search = None, 0, None
+
+    def _build_search(self, k: int):
+        chunk_rows = self.chunk_rows
+        ntotal = self._ntotal
+        if self.mesh is None:
+            def search_fn(queries, emb):
+                return topk_inner_product(
+                    queries, emb, k=k, chunk_rows=chunk_rows,
+                    valid_rows=jnp.asarray(ntotal, jnp.int32))
+            return jax.jit(search_fn)
+
+        mesh, axis = self.mesh, self.axis
+        n_shards = mesh.shape[axis]
+        rows_per_shard = self._emb.shape[0] // n_shards
+
+        def shard_search(queries, emb_shard):
+            shard_id = jax.lax.axis_index(axis)
+            base = (shard_id * rows_per_shard).astype(jnp.int32)
+            valid = jnp.maximum(
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(ntotal, jnp.int32) - base)
+            s, i = topk_inner_product(
+                queries, emb_shard, k=k,
+                chunk_rows=min(chunk_rows, rows_per_shard),
+                valid_rows=valid)
+            i = jnp.where(i >= 0, i + base, i)
+            # gather tiny [Q, k] candidates from every shard, merge locally
+            all_s = jax.lax.all_gather(s, axis)           # [S, Q, k]
+            all_i = jax.lax.all_gather(i, axis)
+            return merge_topk(all_s, all_i, k)
+
+        fn = jax.shard_map(
+            shard_search, mesh=mesh,
+            in_specs=(P(), P(axis, None)),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
+
+    def search(self, queries, k: int):
+        """Top-k IP search. Returns (scores [Q, k] fp32, ids [Q, k] int32);
+        ids are −1 only when k exceeds ntotal (parity: FAISS returns −1)."""
+        if self._emb is None:
+            raise ValueError("index is empty; call add() first")
+        if self._search is None or self._search[0] != k:
+            self._search = (k, self._build_search(k))
+        queries = jnp.asarray(queries, self.dtype)
+        scores, ids = self._search[1](queries, self._emb)
+        return scores, ids
+
+
+def knn_inner_product(queries, corpus, k: int, chunk_rows: int = 16384):
+    """Index-free exact KNN (reference eval_mrr.py:62-91 ``search_knn``)."""
+    q = jnp.asarray(queries, jnp.float32)
+    c = jnp.asarray(corpus, jnp.float32)
+    return topk_inner_product(q, c, k=k, chunk_rows=min(chunk_rows, c.shape[0]))

@@ -1,0 +1,98 @@
+"""Exact-IP index: parity with exhaustive numpy search, single-device and on
+an 8-device CPU mesh (replacing FAISS IndexFlatIP,
+reference run_ann_data_gen.py:265-303)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ance_tpu.index.flat import FlatIPIndex, knn_inner_product, topk_inner_product
+
+
+def _data(n=1000, q=17, d=32, seed=0):
+    rs = np.random.RandomState(seed)
+    corpus = rs.randn(n, d).astype(np.float32)
+    queries = rs.randn(q, d).astype(np.float32)
+    return queries, corpus
+
+
+def _np_topk(queries, corpus, k):
+    scores = queries @ corpus.T
+    ids = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def test_topk_matches_numpy_exhaustive():
+    queries, corpus = _data()
+    k = 25
+    s, i = topk_inner_product(jnp.asarray(queries), jnp.asarray(corpus),
+                              k=k, chunk_rows=128)
+    ref_s, ref_i = _np_topk(queries, corpus, k)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_with_ragged_chunks_and_padding():
+    queries, corpus = _data(n=999)  # not a multiple of chunk size
+    s, i = topk_inner_product(jnp.asarray(queries), jnp.asarray(corpus),
+                              k=10, chunk_rows=256)
+    ref_s, ref_i = _np_topk(queries, corpus, 10)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_flat_index_single_device():
+    queries, corpus = _data(n=500, q=9, d=16, seed=1)
+    index = FlatIPIndex(dim=16, chunk_rows=64)
+    index.add(corpus)
+    assert index.ntotal == 500
+    s, i = index.search(queries, k=7)
+    ref_s, ref_i = _np_topk(queries, corpus, 7)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+
+def test_flat_index_sharded_mesh():
+    queries, corpus = _data(n=1003, q=13, d=32, seed=2)  # ragged over 8 shards
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    index = FlatIPIndex(dim=32, mesh=mesh, axis="data", chunk_rows=64)
+    index.add(corpus)
+    assert index.ntotal == 1003
+    s, i = index.search(queries, k=20)
+    ref_s, ref_i = _np_topk(queries, corpus, 20)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_equals_single_device():
+    queries, corpus = _data(n=640, q=5, d=16, seed=3)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sharded = FlatIPIndex(dim=16, mesh=mesh, chunk_rows=40)
+    single = FlatIPIndex(dim=16, chunk_rows=40)
+    sharded.add(corpus)
+    single.add(corpus)
+    s1, i1 = sharded.search(queries, k=12)
+    s2, i2 = single.search(queries, k=12)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_knn_inner_product_entry():
+    """Index-free path (reference eval_mrr.py search_knn)."""
+    queries, corpus = _data(n=300, q=4, d=8, seed=4)
+    s, i = knn_inner_product(queries, corpus, k=5)
+    ref_s, ref_i = _np_topk(queries, corpus, 5)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_index_rebuild_replaces_contents():
+    queries, corpus = _data(n=100, q=3, d=8, seed=5)
+    index = FlatIPIndex(dim=8, chunk_rows=32)
+    index.add(corpus)
+    _, before = index.search(queries, k=3)
+    corpus2 = corpus[::-1].copy()  # reversed rows → ids must flip
+    index.add(corpus2)
+    _, after = index.search(queries, k=3)
+    np.testing.assert_array_equal(np.asarray(after), 99 - np.asarray(before))
