@@ -1,0 +1,49 @@
+"""Device mesh setup and batch sharding.
+
+The reference's process-per-GPU DDP topology (reference drivers/run_ann.py:
+603-646 set_env + NCCL) maps onto a single ``jax.sharding.Mesh``:
+
+  * ``data`` axis — batch rows and corpus rows are sharded here; gradient
+    all-reduce is inserted by XLA over ICI (replaces DDP's fused all-reduce,
+    reference run_ann.py:121-128).
+  * params are replicated (all reference models are ≤ BERT-base; SURVEY.md
+    §2.2 "Model-parallel-free model size").
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Leading-dim sharding for host→device batch transfer."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh,
+                axis: str = DATA_AXIS) -> dict:
+    """device_put each array with its leading dim split over the data axis."""
+    sharding = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple

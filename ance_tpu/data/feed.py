@@ -1,0 +1,105 @@
+"""Host-side batch assembly from token caches.
+
+Replaces the reference's StreamingDataset + processing-fn pipeline
+(reference utils/util.py:310-329, data/msmarco_data.py:275-362) with
+vectorized numpy gathers over the memory-mapped caches: a training-data line
+``qid \\t pos_pid \\t neg1,neg2,...`` expands into one (query, positive,
+negative) triple per negative; attention masks derive from stored lengths.
+
+Sharding model: on multi-host systems each host feeds its own slice of the
+line stream (``host_id``/``num_hosts`` stripe the expanded triples the way
+StreamingDataset stripes per DDP rank); within a host, batches are delivered
+whole and pjit splits them across local devices along the data axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ance_tpu.data.cache import TokenCache
+
+
+def parse_triple_line(line: str) -> tuple[int, int, list[int]]:
+    """``qid\\tpos\\tneg1,neg2,...`` (reference msmarco_data.py:338-343)."""
+    qid_s, pos_s, negs_s = line.rstrip("\n").split("\t")
+    return int(qid_s), int(pos_s), [int(x) for x in negs_s.split(",")]
+
+
+def expand_triples(lines: Sequence[str]) -> np.ndarray:
+    """Lines → [T, 3] int64 (qid, pos_pid, neg_pid), one row per negative."""
+    rows = []
+    for line in lines:
+        if not line.strip():
+            continue
+        qid, pos, negs = parse_triple_line(line)
+        for neg in negs:
+            rows.append((qid, pos, neg))
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 3)
+
+
+def mask_from_lengths(lengths: np.ndarray, max_len: int) -> np.ndarray:
+    return (np.arange(max_len)[None, :] < lengths[:, None]).astype(np.int32)
+
+
+def gather_padded(cache: TokenCache, keys: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(ids [B, L] int32, mask [B, L] int32) for a batch of cache offsets."""
+    lengths, tokens = cache.batch(keys)
+    return tokens.astype(np.int32), mask_from_lengths(
+        lengths, cache.embedding_size)
+
+
+@dataclasses.dataclass
+class TripletBatches:
+    """Iterate (query, pos, neg) batches from caches + training-data lines.
+
+    ``seed >= 0`` shuffles triple order each epoch (the generator already
+    shuffles lines when writing, reference run_ann_data_gen.py:314-320; this
+    covers the warmup/epoch path). Incomplete trailing batches are dropped,
+    matching DataLoader semantics under DDP striping.
+    """
+
+    query_cache: TokenCache
+    passage_cache: TokenCache
+    triples: np.ndarray            # [T, 3] from expand_triples
+    batch_size: int
+    seed: int = -1
+    host_id: int = 0
+    num_hosts: int = 1
+
+    def __len__(self) -> int:
+        local = len(range(self.host_id, self.triples.shape[0], self.num_hosts))
+        return local // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        triples = self.triples[self.host_id::self.num_hosts]
+        if self.seed >= 0:
+            perm = np.random.RandomState(self.seed + epoch_idx).permutation(
+                triples.shape[0])
+            triples = triples[perm]
+        B = self.batch_size
+        for start in range(0, triples.shape[0] - B + 1, B):
+            rows = triples[start:start + B]
+            q_ids, q_mask = gather_padded(self.query_cache, rows[:, 0])
+            p_ids, p_mask = gather_padded(self.passage_cache, rows[:, 1])
+            n_ids, n_mask = gather_padded(self.passage_cache, rows[:, 2])
+            yield {"query_ids": q_ids, "query_mask": q_mask,
+                   "pos_ids": p_ids, "pos_mask": p_mask,
+                   "neg_ids": n_ids, "neg_mask": n_mask}
+
+
+def infinite_batches(batches: TripletBatches) -> Iterator[dict]:
+    """Re-iterate forever (reference run_ann.py:230-235 re-iterates the
+    StreamingDataset on StopIteration)."""
+    epoch = 0
+    while True:
+        yielded = False
+        for b in batches.epoch(epoch):
+            yielded = True
+            yield b
+        if not yielded:
+            raise ValueError("dataset smaller than one batch")
+        epoch += 1

@@ -1,0 +1,82 @@
+"""Batched embedding inference over token caches.
+
+Replaces the reference's StreamInferenceDoc pipeline (reference
+drivers/run_ann_data_gen.py:139-263): iterate a token cache in fixed-size
+batches, run the frozen encoder, and collect embeddings. Multi-vector (MaxP)
+documents flatten chunk embeddings with repeated ids
+(reference run_ann_data_gen.py:182-189).
+
+On a mesh, batches are sharded along the data axis so the corpus encode runs
+data-parallel; embeddings land back on host as numpy (or stay device-resident
+when feeding the in-HBM index directly).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ance_tpu.data.cache import TokenCache
+from ance_tpu.data.feed import mask_from_lengths
+
+
+def iter_cache_batches(cache: TokenCache, batch_size: int,
+                       start: int = 0, stop: Optional[int] = None
+                       ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (offsets [B], ids [B, L], mask [B, L]); the final batch is padded
+    by repeating the last record (padded rows are dropped by the caller)."""
+    stop = cache.total_number if stop is None else stop
+    for s in range(start, stop, batch_size):
+        keys = np.arange(s, min(s + batch_size, stop))
+        real = len(keys)
+        if real < batch_size:
+            keys = np.concatenate(
+                [keys, np.full(batch_size - real, keys[-1])])
+        lengths, tokens = cache.batch(keys)
+        mask = mask_from_lengths(lengths, cache.embedding_size)
+        yield keys[:real], tokens.astype(np.int32), mask
+
+
+def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
+                   data_axis: str = "data") -> Callable:
+    """Jitted (params, ids, mask) → embeddings; batch sharded over the mesh."""
+    def encode(params, ids, mask):
+        return model.apply({"params": params}, ids, mask, method=method)
+
+    if mesh is None:
+        return jax.jit(encode)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(encode, in_shardings=(repl, data, data),
+                   out_shardings=repl)
+
+
+def encode_cache(encode_fn: Callable, params, cache: TokenCache,
+                 batch_size: int = 128, multichunk: bool = False,
+                 start: int = 0, stop: Optional[int] = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Encode cache records [start, stop) → (embeddings [M, D] fp32,
+    embedding2id [M] int64).
+
+    With ``multichunk`` the encoder returns [B, C, D]; rows flatten to
+    [B·C, D] and each record id repeats C times
+    (reference run_ann_data_gen.py:182-189 MaxP handling).
+    """
+    emb_parts, id_parts = [], []
+    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop):
+        out = np.asarray(encode_fn(params, jnp.asarray(ids),
+                                   jnp.asarray(mask)), dtype=np.float32)
+        real = len(keys)
+        if multichunk:
+            C = out.shape[1]
+            emb_parts.append(out[:real].reshape(real * C, -1))
+            id_parts.append(np.repeat(keys, C))
+        else:
+            emb_parts.append(out[:real])
+            id_parts.append(keys)
+    return (np.concatenate(emb_parts, axis=0),
+            np.concatenate(id_parts, axis=0).astype(np.int64))

@@ -1,0 +1,144 @@
+"""Jitted training step for the dual-encoder NLL objectives.
+
+One compiled function covers the reference trainer inner loop
+(reference drivers/run_ann.py:240-334):
+
+  * three encoder passes (query / positive / negative) + NLL triplet loss
+    (or MaxP multichunk loss),
+  * gradient accumulation via ``lax.scan`` over microbatches (replaces the
+    step%accum + ``no_sync`` dance, reference run_ann.py:256-278),
+  * global-norm gradient clipping (reference run_ann.py:280-284),
+  * LAMB/AdamW update + schedule.
+
+Data parallelism: run the step under a ``Mesh`` with the batch sharded along
+the data axis; XLA inserts the gradient all-reduce over ICI (replacing DDP,
+reference run_ann.py:121-128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ance_tpu.models import losses
+from ance_tpu.optim.lamb import reference_lamb
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(name: str = "lamb", learning_rate=1e-4,
+                   eps: float = 1e-8, weight_decay: float = 0.0,
+                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    """Reference optimizer menu (run_ann.py:79-93): lamb | adamw, preceded by
+    global-norm clipping (run_ann.py:280-284)."""
+    if name.lower() == "lamb":
+        inner = reference_lamb(learning_rate, eps=eps,
+                               weight_decay=weight_decay)
+    elif name.lower() == "adamw":
+        inner = optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay)
+    else:
+        raise ValueError(f"optimizer {name} not recognized! lamb or adamw")
+    if max_grad_norm and max_grad_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
+    return inner
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                      opt_state=optimizer.init(params))
+
+
+def triplet_loss_fn(model, multichunk: bool = False) -> Callable:
+    """loss(params, batch, dropout_rng) for FirstP (NLL) or MaxP
+    (NLL_MultiChunk) training."""
+
+    def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        q = model.apply({"params": params}, batch["query_ids"],
+                        batch["query_mask"], deterministic=False, rngs=rngs,
+                        method=model.query_emb)
+        body_method = model.body_emb_multichunk if multichunk \
+            else model.body_emb
+        pos = model.apply({"params": params}, batch["pos_ids"],
+                          batch["pos_mask"], deterministic=False, rngs=rngs,
+                          method=body_method)
+        neg = model.apply({"params": params}, batch["neg_ids"],
+                          batch["neg_mask"], deterministic=False, rngs=rngs,
+                          method=body_method)
+        if multichunk:
+            return losses.nll_multichunk_loss(q, pos, batch["pos_mask"],
+                                              neg, batch["neg_mask"])
+        return losses.nll_triplet_loss(q, pos, neg)
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, optimizer,
+                    accum_steps: int = 1,
+                    mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
+    """Build the jitted step: (state, batch, rng) → (state, metrics).
+
+    With ``accum_steps > 1`` each batch's leading dim must be divisible by
+    it; microbatches run sequentially under ``lax.scan`` and gradients
+    average, matching torch grad-accumulation loss scaling
+    (reference run_ann.py:263-268 loss/accum).
+    """
+
+    def split_micro(x):
+        return x.reshape((accum_steps, x.shape[0] // accum_steps) +
+                         x.shape[1:])
+
+    def step_fn(state: TrainState, batch, dropout_rng):
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        if accum_steps == 1:
+            loss, grads = grad_fn(state.params, batch, dropout_rng)
+        else:
+            micro = jax.tree.map(split_micro, batch)
+            rngs = jax.random.split(dropout_rng, accum_steps)
+
+            def body(carry, inp):
+                loss_acc, grad_acc = carry
+                mb, rng = inp
+                loss, grads = grad_fn(state.params, mb, rng)
+                return (loss_acc + loss,
+                        jax.tree.map(jnp.add, grad_acc, grads)), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros([], jnp.float32), zero), (micro, rngs))
+            loss = loss / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
