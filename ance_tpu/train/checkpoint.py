@@ -1,0 +1,106 @@
+"""Checkpoint save/load + completeness signaling.
+
+Checkpoints double as the trainer→generator message channel (reference
+commands/run_train.sh:2-21 design; SURVEY.md §5.4). Directory layout:
+
+    <dir>/checkpoint-<step>/
+        params.msgpack       flax-serialized model params
+        opt_state.msgpack    optimizer state (optional)
+        meta.json            {"step": N, ...extra}
+        DONE                 completeness marker, written LAST
+
+The DONE marker replaces the reference's "scheduler.pt exists ⇒ checkpoint
+complete" convention (reference run_ann.py:322-331 writes scheduler.pt last;
+run_ann_data_gen.py:55-71 only accepts checkpoints that have it) with an
+explicit sentinel, fixing the implicit-ordering race noted in SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+DONE_MARKER = "DONE"
+
+
+def checkpoint_no(path: str) -> int:
+    """Trailing integer of a checkpoint dirname
+    (reference utils/util.py:224-226)."""
+    nums = re.findall(r"\d+", os.path.basename(os.path.normpath(path)))
+    return int(nums[-1]) if nums else 0
+
+
+def save_checkpoint(directory: str, step: int, params: Any,
+                    opt_state: Any = None, extra: Optional[dict] = None
+                    ) -> str:
+    """Write checkpoint-<step>; atomic-ish via temp dir + rename, DONE last."""
+    os.makedirs(directory, exist_ok=True)
+    final = os.path.join(directory, f"checkpoint-{step}")
+    tmp = tempfile.mkdtemp(dir=directory, prefix=f".ckpt-{step}-")
+    try:
+        with open(os.path.join(tmp, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
+        if opt_state is not None:
+            with open(os.path.join(tmp, "opt_state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(opt_state)))
+        meta = {"step": int(step)}
+        meta.update(extra or {})
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # completeness marker written last (parity: scheduler.pt convention)
+    with open(os.path.join(final, DONE_MARKER), "w") as f:
+        f.write(str(step))
+    return final
+
+
+def is_complete(ckpt_dir: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, DONE_MARKER))
+
+
+def load_checkpoint(ckpt_dir: str, params_template: Any,
+                    opt_state_template: Any = None):
+    """Load params (and optionally opt state) into given template pytrees.
+    Returns (params, opt_state_or_None, meta)."""
+    with open(os.path.join(ckpt_dir, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(params_template, f.read())
+    opt_state = None
+    opt_path = os.path.join(ckpt_dir, "opt_state.msgpack")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt_state = serialization.from_bytes(opt_state_template, f.read())
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return params, opt_state, meta
+
+
+def get_latest_checkpoint(training_dir: str,
+                          init_model_dir: Optional[str] = None
+                          ) -> tuple[Optional[str], int]:
+    """Newest COMPLETE checkpoint dir, else (init_model_dir, 0)
+    (reference run_ann_data_gen.py:55-71)."""
+    if not os.path.isdir(training_dir):
+        return init_model_dir, 0
+    best_step, best_path = -1, None
+    for name in next(os.walk(training_dir))[1]:
+        path = os.path.join(training_dir, name)
+        if not is_complete(path):
+            continue
+        step = checkpoint_no(name)
+        if step > best_step:
+            best_step, best_path = step, path
+    if best_path is None:
+        return init_model_dir, 0
+    return best_path, best_step
