@@ -1,0 +1,110 @@
+"""DPR ANN data generation: answer-validated retrieval + answer-filtered
+negative mining.
+
+Parity target: reference drivers/run_ann_data_gen_dpr.py:230-345. Differences
+from the MS MARCO generator: validation is answer-string matching over the
+retrieved passages' raw text (top-k hit curve), negative mining rejects
+passages that contain the answer, and the ndcg sidecar carries
+top20/top100(+trivia) instead of NDCG.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+from ance_tpu.evaluation.qa_validation import has_answer
+
+ANN_DATA_PREFIX = "ann_training_data_"
+ANN_NDCG_PREFIX = "ann_ndcg_"
+
+
+def validate(passage_texts: Mapping[int, tuple[str, str]],
+             answers: Mapping[int, Sequence[str]],
+             closest_docs: np.ndarray,
+             query_embedding2id: np.ndarray,
+             passage_embedding2id: np.ndarray) -> list[float]:
+    """Top-k answer-hit curve (reference run_ann_data_gen_dpr.py:312-340):
+    top_k_hits[k] = fraction of queries with an answer-bearing passage in
+    their top (k+1)."""
+    scores = []
+    for qi in range(closest_docs.shape[0]):
+        qid = int(query_embedding2id[qi])
+        hits = []
+        for pidx in closest_docs[qi]:
+            doc_id = int(passage_embedding2id[pidx])
+            text = passage_texts[doc_id][0]
+            hits.append(has_answer(answers[qid], text))
+        scores.append(hits)
+    n_docs = closest_docs.shape[1]
+    top_k_hits = [0] * n_docs
+    for question_hits in scores:
+        best = next((i for i, x in enumerate(question_hits) if x), None)
+        if best is not None:
+            top_k_hits[best:] = [v + 1 for v in top_k_hits[best:]]
+    return [v / len(scores) for v in top_k_hits]
+
+
+def mine_negatives_dpr(passage_texts: Mapping[int, tuple[str, str]],
+                       answers: Mapping[int, Sequence[str]],
+                       query_embedding2id: np.ndarray,
+                       passage_embedding2id: np.ndarray,
+                       closest_docs: np.ndarray,
+                       training_query_positive_id: Mapping[int, int],
+                       negative_sample: int) -> dict[int, list[int]]:
+    """Answer-filtered negative mining
+    (reference run_ann_data_gen_dpr.py:281-309). NOTE reference quirk kept:
+    the candidate counter increments whether or not the passage is accepted,
+    so answer-bearing candidates consume budget."""
+    out: dict[int, list[int]] = {}
+    for qi in range(closest_docs.shape[0]):
+        qid = int(query_embedding2id[qi])
+        pos_pid = training_query_positive_id[qid]
+        out[qid] = []
+        neg_cnt = 0
+        for pidx in closest_docs[qi]:
+            doc_id = int(passage_embedding2id[pidx])
+            if doc_id == pos_pid:
+                continue
+            if doc_id in out[qid]:
+                continue
+            if neg_cnt >= negative_sample:
+                break
+            text = passage_texts[doc_id][0]
+            if not has_answer(answers[qid], text):
+                out[qid].append(doc_id)
+            neg_cnt += 1
+    return out
+
+
+def write_dpr_ann_data(output_dir: str, output_num: int,
+                       query_embedding2id: np.ndarray,
+                       training_query_positive_id: Mapping[int, int],
+                       query_negative_passage: Mapping[int, Sequence[int]],
+                       metrics: dict, checkpoint_path: str,
+                       seed: int = 0) -> tuple[str, str]:
+    """Shuffled triples + top-k-hit JSON sidecar (written LAST as the ready
+    signal; reference run_ann_data_gen_dpr.py:265-278)."""
+    os.makedirs(output_dir, exist_ok=True)
+    data_path = os.path.join(output_dir, ANN_DATA_PREFIX + str(output_num))
+    order = list(range(len(query_embedding2id)))
+    random.Random(seed).shuffle(order)
+    with open(data_path, "w") as f:
+        for qi in order:
+            qid = int(query_embedding2id[qi])
+            negs = query_negative_passage.get(qid, [])
+            if not negs:
+                continue
+            f.write("{}\t{}\t{}\n".format(
+                qid, training_query_positive_id[qid],
+                ",".join(str(p) for p in negs)))
+    sidecar = dict(metrics)
+    sidecar["checkpoint"] = checkpoint_path
+    ndcg_path = os.path.join(output_dir, ANN_NDCG_PREFIX + str(output_num))
+    with open(ndcg_path, "w") as f:
+        json.dump(sidecar, f)
+    return data_path, ndcg_path

@@ -1,0 +1,120 @@
+"""DPR BiEncoder training: in-batch negatives over the global batch.
+
+Parity target: reference drivers/run_ann_dpr.py:309-374. The reference
+gathers per-rank embeddings with a pickled byte-buffer all_reduce
+(dpr_utils.py:95-160) so every rank's softmax sees the global batch; here the
+whole batch lives in one jit — when sharded over the mesh's data axis, XLA
+inserts the all-gather for the [Q_global, C_global] score matrix over ICI
+automatically. Context rows interleave positives at even indices
+(run_ann_dpr.py:356-363).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ance_tpu.data.cache import TokenCache
+from ance_tpu.data.feed import gather_padded, parse_triple_line
+from ance_tpu.models import losses
+
+
+def biencoder_loss_fn(model) -> Callable:
+    """loss(params, batch, rng) → (loss, correct_count) with positives at
+    even ctx indices."""
+
+    def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        q = model.apply({"params": params}, batch["query_ids"],
+                        batch["query_mask"], deterministic=False, rngs=rngs,
+                        method=model.query_emb)
+        B = batch["pos_ids"].shape[0]
+        # interleave pos/neg: ctx[2i] = pos_i, ctx[2i+1] = neg_i
+        ctx_ids = jnp.stack([batch["pos_ids"], batch["neg_ids"]],
+                            axis=1).reshape(2 * B, -1)
+        ctx_mask = jnp.stack([batch["pos_mask"], batch["neg_mask"]],
+                             axis=1).reshape(2 * B, -1)
+        ctx = model.apply({"params": params}, ctx_ids, ctx_mask,
+                          deterministic=False, rngs=rngs,
+                          method=model.body_emb)
+        positive_idx = jnp.arange(B) * 2
+        loss, correct = losses.dpr_inbatch_loss(q, ctx, positive_idx)
+        return loss, correct
+
+    return loss_fn
+
+
+def make_dpr_train_step(loss_fn: Callable, optimizer,
+                        mesh=None, data_axis: str = "data") -> Callable:
+    """(state, batch, rng) → (state, metrics incl. correct_ratio)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ance_tpu.train.trainer import TrainState
+
+    def step_fn(state: TrainState, batch, dropout_rng):
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        B = batch["query_ids"].shape[0]
+        metrics = {"loss": loss, "correct": correct,
+                   "correct_ratio": correct / B}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(step_fn, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+
+def dpr_dev_batches(query_cache: TokenCache, passage_cache: TokenCache,
+                    dev_data_path: str, batch_size: int,
+                    seed: int = 0) -> Iterator[dict]:
+    """Dev triples (first hard negative per line after shuffle — reference
+    DPR_data.py:321-327 GetTripletTrainingDataProcessingFn shuffle) batched
+    for evaluate_dev; incomplete tail dropped."""
+    rs = np.random.RandomState(seed)
+    rows = []
+    with open(dev_data_path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            qid, pos, negs = parse_triple_line(line)
+            rows.append((qid, pos, negs[rs.randint(len(negs))]))
+    rows = np.asarray(rows, dtype=np.int64)
+    for s in range(0, rows.shape[0] - batch_size + 1, batch_size):
+        r = rows[s:s + batch_size]
+        q_ids, q_mask = gather_padded(query_cache, r[:, 0])
+        p_ids, p_mask = gather_padded(passage_cache, r[:, 1])
+        n_ids, n_mask = gather_padded(passage_cache, r[:, 2])
+        yield {"query_ids": q_ids, "query_mask": q_mask,
+               "pos_ids": p_ids, "pos_mask": p_mask,
+               "neg_ids": n_ids, "neg_mask": n_mask}
+
+
+def evaluate_dev(model, params, query_cache: TokenCache,
+                 passage_cache: TokenCache, dev_data_path: str,
+                 batch_size: int = 32) -> tuple[float, float]:
+    """Dev in-batch NLL + correct ratio
+    (reference run_ann_dpr.py:266-306 evaluate_dev)."""
+    loss_fn = biencoder_loss_fn(model)
+    eval_fn = jax.jit(lambda p, b: loss_fn(p, b, jax.random.PRNGKey(0)))
+    total_loss, total_correct, n_batches, n_q = 0.0, 0, 0, 0
+    for batch in dpr_dev_batches(query_cache, passage_cache, dev_data_path,
+                                 batch_size):
+        loss, correct = eval_fn(params, batch)
+        total_loss += float(loss)
+        total_correct += int(correct)
+        n_batches += 1
+        n_q += batch["query_ids"].shape[0]
+    if n_batches == 0:
+        return 0.0, 0.0
+    return total_loss / n_batches, total_correct / n_q

@@ -1,0 +1,195 @@
+"""DPR path: preprocessing, in-batch trainer, answer-filtered generation."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ance_tpu.data.cache import TokenCache
+from ance_tpu.data.dpr import (
+    DprPreprocessConfig, load_answers, load_mapping, load_positive_ids,
+    normalize_question, preprocess_dpr)
+from ance_tpu.models.dot_models import BiEncoder
+from ance_tpu.models.transformer import EncoderConfig
+from ance_tpu.optim.schedules import warmup_linear
+from ance_tpu.train.dpr_gen import (
+    mine_negatives_dpr, validate, write_dpr_ann_data)
+from ance_tpu.train.dpr_trainer import (
+    biencoder_loss_fn, evaluate_dev, make_dpr_train_step)
+from ance_tpu.train.trainer import init_train_state, make_optimizer
+
+
+class FakeBertTokenizer:
+    pad_token_id = 0
+    sep_token_id = 3
+    sep_token = "[SEP]"
+
+    def encode(self, text, text_pair=None, add_special_tokens=True,
+               max_length=None):
+        import zlib
+
+        def toks(t):
+            return [4 + (zlib.crc32(w.encode()) % 500) for w in t.split()]
+
+        ids = [2] + toks(text) + [3]
+        if text_pair is not None:
+            ids += toks(text_pair) + [3]
+        if max_length is not None:
+            ids = ids[:max_length]
+        return ids
+
+
+def make_fake_bert_tokenizer():
+    return FakeBertTokenizer()
+
+
+def _write_dpr_raw(tmp_path):
+    wiki = tmp_path / "wiki"
+    qd = tmp_path / "questions"
+    ad = tmp_path / "answers"
+    for d in (wiki, qd, ad):
+        d.mkdir()
+    (wiki / "psgs_w100.tsv").write_text(
+        "id\ttext\ttitle\n"
+        "1\tparis is the capital of france\tFrance\n"
+        "2\tberlin is in germany\tGermany\n"
+        "3\tthe moon orbits the earth\tMoon\n"
+        "4\tunrelated filler text\tFiller\n")
+
+    def sample(q, answers, pos, negs, id_key="passage_id"):
+        return {"question": q, "answers": answers,
+                "positive_ctxs": [{id_key: str(pos)}],
+                "hard_negative_ctxs": [{id_key: str(n)} for n in negs]}
+
+    nq_train = [
+        sample("what is the capital of france?", ["paris"], 1, [2, 4]),
+        sample("what orbits the earth?", ["the moon"], 3, [4]),
+        {"question": "dropped (no positives)?", "answers": ["x"],
+         "positive_ctxs": [], "hard_negative_ctxs": [{"passage_id": "2"}]},
+    ]
+    (qd / "nq-train.json").write_text(json.dumps(nq_train))
+    (qd / "nq-dev.json").write_text(json.dumps([
+        sample("capital of france?", ["paris"], 1, [4])]))
+    (qd / "trivia-dev.json").write_text(json.dumps([
+        sample("where is berlin?", ["germany"], 2, [4], id_key="psg_id")]))
+    (ad / "nq-test.csv").write_text("what is the capital of france?\t['paris']\n")
+    (ad / "trivia-test.csv").write_text("where is berlin?\t['germany']\n")
+    return DprPreprocessConfig(
+        wiki_dir=str(wiki), question_dir=str(qd), answer_dir=str(ad),
+        out_data_dir=str(tmp_path / "out"), data_type=0,
+        max_seq_length=24, num_processes=1)
+
+
+def test_normalize_question():
+    assert normalize_question("why?") == "why"
+    assert normalize_question("why") == "why"
+
+
+def test_preprocess_dpr(tmp_path):
+    cfg = _write_dpr_raw(tmp_path)
+    counts = preprocess_dpr(cfg, make_fake_bert_tokenizer)
+    assert counts["train"] == 2          # third sample dropped (no positives)
+    assert counts["dev"] == 1 and counts["test"] == 1
+    out = cfg.out_data_dir
+
+    pid2offset, offset2pid = load_mapping(out, "pid2offset")
+    assert set(pid2offset) == {1, 2, 3, 4}
+    with TokenCache(out + "/passages") as cache:
+        assert len(cache) == 4
+        length, toks = cache[pid2offset[1]]
+        tok = FakeBertTokenizer()
+        expect = tok.encode("France", text_pair="paris is the capital of france")
+        assert toks[:length].tolist() == expect
+
+    answers = load_answers(out + "/train-ann")
+    assert answers == {0: ["paris"], 1: ["the moon"]}
+    positives = load_positive_ids(out + "/train-data")
+    assert positives == {0: pid2offset[1], 1: pid2offset[3]}
+    # training lines carry offsets of the hard negatives
+    line0 = open(out + "/train-data").read().splitlines()[0].split("\t")
+    assert [int(x) for x in line0[2].split(",")] == \
+        [pid2offset[2], pid2offset[4]]
+    with TokenCache(out + "/train-query") as cache:
+        assert len(cache) == 2
+    with TokenCache(out + "/test-query") as cache:
+        assert len(cache) == 1
+
+
+def test_validate_top_k_hits():
+    texts = {0: ("paris is nice", "t"), 1: ("berlin here", "t"),
+             2: ("nothing", "t")}
+    answers = {10: ["paris"], 11: ["tokyo"]}
+    closest = np.array([[2, 0, 1], [0, 1, 2]])
+    hits = validate(texts, answers, closest, np.array([10, 11]),
+                    np.array([0, 1, 2]))
+    # qid 10 hits at rank 2 → counts toward k>=2; qid 11 never hits
+    assert hits == [0.0, 0.5, 0.5]
+
+
+def test_mine_negatives_dpr_answer_filter():
+    texts = {0: ("paris is the capital", "t"), 1: ("berlin", "t"),
+             2: ("rome", "t"), 3: ("madrid", "t")}
+    answers = {7: ["paris"]}
+    positives = {7: 3}
+    closest = np.array([[3, 0, 1, 2]])  # pos first, then answer-bearing 0
+    negs = mine_negatives_dpr(texts, answers, np.array([7]),
+                              np.array([0, 1, 2, 3]), closest, positives,
+                              negative_sample=2)
+    # pos skipped; passage 0 contains the answer → rejected but consumes
+    # budget (reference quirk); passage 1 accepted; budget exhausted
+    assert negs == {7: [1]}
+
+
+def test_write_dpr_ann_data(tmp_path):
+    data_path, ndcg_path = write_dpr_ann_data(
+        str(tmp_path), 2, np.array([0, 1]), {0: 5, 1: 6},
+        {0: [9], 1: []}, {"top20": 0.5, "top100": 0.75}, "ckpt-1")
+    lines = open(data_path).read().splitlines()
+    assert lines == ["0\t5\t9"]  # qid 1 has no negatives → dropped
+    side = json.load(open(ndcg_path))
+    assert side == {"top20": 0.5, "top100": 0.75, "checkpoint": "ckpt-1"}
+
+
+def _tiny_biencoder():
+    cfg = EncoderConfig.bert_base(vocab_size=520, hidden_size=32, num_layers=2,
+                                  num_heads=4, intermediate_size=64,
+                                  max_position_embeddings=32,
+                                  hidden_dropout=0.0, attention_dropout=0.0)
+    return BiEncoder(cfg)
+
+
+def test_dpr_inbatch_training_learns(tmp_path):
+    cfg = _write_dpr_raw(tmp_path)
+    preprocess_dpr(cfg, make_fake_bert_tokenizer)
+    out = cfg.out_data_dir
+    model = _tiny_biencoder()
+    L = 24
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    opt = make_optimizer("adamw", warmup_linear(5e-4, 5, 5000))
+    state = init_train_state(params, opt)
+    step = make_dpr_train_step(biencoder_loss_fn(model), opt)
+
+    from ance_tpu.train.dpr_trainer import dpr_dev_batches
+    with TokenCache(out + "/train-query") as qc, \
+            TokenCache(out + "/passages") as pc:
+        batches = list(dpr_dev_batches(qc, pc, out + "/train-data",
+                                       batch_size=2))
+        assert len(batches) == 1
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(30):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, batches[0], sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5
+        assert 0.0 <= float(m["correct_ratio"]) <= 1.0
+
+        # dev evaluation runs end-to-end
+        nll, ratio = evaluate_dev(model, state.params, qc, pc,
+                                  out + "/train-data", batch_size=2)
+        assert nll >= 0.0 and 0.0 <= ratio <= 1.0
