@@ -38,6 +38,10 @@ class EncoderConfig:
     position_style: str = "roberta"  # "roberta" | "bert"
     dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on TPU)
     attention_impl: str = "xla"      # "xla" | "flash"
+    use_type_embeddings: bool = True  # SEED/fairseq: num_segments=0 → False
+    embed_zero_pad: bool = False      # SEED: zero embeddings at pad positions
+                                      # (reference transformer_sentence_encoder
+                                      # .py:898-900 ``x *= 1 - padding_mask``)
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -82,13 +86,17 @@ class Embeddings(nn.Module):
                 position_ids = jnp.arange(input_ids.shape[1])[None, :]
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        embedding_init=init, name="position_embeddings")(position_ids)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
-                       name="token_type_embeddings")(token_type_ids)
-        x = word + pos + typ
+        x = word + pos
+        if cfg.use_type_embeddings:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                             embedding_init=init,
+                             name="token_type_embeddings")(token_type_ids)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="layer_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        if cfg.embed_zero_pad:
+            x = x * (input_ids != cfg.pad_token_id)[:, :, None].astype(x.dtype)
         return x.astype(cfg.dtype)
 
 

@@ -32,11 +32,15 @@ DEFAULT_BLOCK_K = 256
 
 
 def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
-                  scale: float):
-    """One (batch, head, q-block) cell: online softmax over K blocks.
+                  scale: float, num_heads: int):
+    """One (batch·head, q-block) cell: online softmax over K blocks.
 
-    q_ref: [BQ, D]; k_ref/v_ref: [S, D]; mask_ref: [1, S]; o_ref: [BQ, D].
+    Layout: heads folded into the leading dim ([B·H, S, D]) so every block's
+    trailing two dims are (S-block, D) — the shape TPU tiling accepts.
+    q_ref: [BQ, D]; k_ref/v_ref: [S, D]; mask_ref: [B, S] (full array,
+    batch row indexed in-kernel); o_ref: [BQ, D].
     """
+    b = pl.program_id(0) // num_heads
     q = q_ref[...].astype(jnp.float32) * scale
     S = k_ref.shape[0]
     BQ, D = q_ref.shape
@@ -48,7 +52,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        mask_blk = mask_ref[0, pl.ds(i * block_k, block_k)]
+        mask_blk = mask_ref[b, pl.ds(i * block_k, block_k)]
         s = s + (1.0 - mask_blk.astype(jnp.float32))[None, :] * NEG_INF
 
         m_cur = jnp.max(s, axis=1)                      # [BQ]
@@ -78,35 +82,36 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
     if S % block_q or S % block_k:
         raise ValueError(f"seq len {S} must divide blocks ({block_q},{block_k})")
 
-    grid = (B, H, S // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    def fold(x):  # [B, S, H, D] → [B*H, S, D]
+        return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
 
-    def qspec(b, h, qi):
-        return (b, qi, h, 0)
+    grid = (B * H, S // block_q)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
+                               num_heads=H)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, S), lambda b, h, qi: (b, 0),
-                         memory_space=pltpu.VMEM),          # mask
-            pl.BlockSpec((None, block_q, None, D), qspec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # mask [B, S] whole
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),          # q
-            pl.BlockSpec((None, S, None, D), lambda b, h, qi: (b, 0, h, 0),
+            pl.BlockSpec((None, S, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),          # k
-            pl.BlockSpec((None, S, None, D), lambda b, h, qi: (b, 0, h, 0),
+            pl.BlockSpec((None, S, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),          # v
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, D), qspec,
+        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
             bytes_accessed=(3 * B * S * H * D + B * S * H * D) * q.dtype.itemsize,
             transcendentals=B * H * S * S),
-    )(attention_mask, q, k, v)
+    )(attention_mask, fold(q), fold(k), fold(v))
+    return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
