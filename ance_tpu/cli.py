@@ -1,0 +1,314 @@
+"""``ance`` command-line interface.
+
+Subcommands mirror the reference's driver scripts (flag names kept close to
+the reference argparse surface for operability, SURVEY.md §7.1 "cli/"):
+
+  preprocess       data/msmarco_data.py main        (passage + doc modes)
+  preprocess-dpr   data/DPR_data.py main            (NQ/TriviaQA/both)
+  warmup           drivers/run_warmup.py            (BM25 triples trainer)
+  train            drivers/run_ann.py               (ANCE trainer, poll mode)
+  generate         drivers/run_ann_data_gen.py      (encode→index→mine)
+  ance-loop        single-program generate→train alternation (TPU-native)
+  infer            drivers/run_ann_data_gen.py --inference
+  eval             evaluation notebook / msmarco_eval.py CLI
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+logger = logging.getLogger("ance_tpu")
+
+
+def _tokenizer_factory(name: str, model_dir: str | None = None):
+    """Resolve a tokenizer by name: HF pretrained (roberta-base /
+    bert-base-uncased / local dir) or the native WordPiece."""
+    def factory():
+        if name == "seed-wordpiece":
+            from ance_tpu.data.wordpiece import WordPieceTokenizer
+            if not model_dir:
+                raise SystemExit("seed tokenizer requires --model_name_or_path "
+                                 "pointing at a vocab.txt directory")
+            return WordPieceTokenizer.from_vocab_file(model_dir)
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(model_dir or name)
+    return factory
+
+
+def _add_common_model_flags(p):
+    p.add_argument("--model_type", default="rdot_nll",
+                   help="registry key (rdot_nll | rdot_nll_multi_chunk | "
+                        "dpr | seeddot_nll)")
+    p.add_argument("--model_name_or_path", default=None,
+                   help="HF checkpoint dir / tokenizer source")
+    p.add_argument("--max_seq_length", type=int, default=128)
+    p.add_argument("--max_query_length", type=int, default=64)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 encoder compute (recommended on TPU)")
+    p.add_argument("--attention", default="xla", choices=["xla", "flash"])
+
+
+def _build_model(args):
+    import jax.numpy as jnp
+    from ance_tpu.models.registry import get_model_spec
+    spec = get_model_spec(args.model_type)
+    model = spec.build(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                       attention_impl=args.attention)
+    return spec, model
+
+
+def cmd_preprocess(args):
+    from ance_tpu.data.preprocess import PreprocessConfig, preprocess
+    from ance_tpu.models.registry import get_model_spec
+    spec = get_model_spec(args.model_type)
+    cfg = PreprocessConfig(
+        data_dir=args.data_dir, out_data_dir=args.out_data_dir,
+        data_type=args.data_type, max_seq_length=args.max_seq_length,
+        max_query_length=args.max_query_length,
+        max_doc_character=args.max_doc_character,
+        num_processes=args.num_processes)
+    result = preprocess(cfg, _tokenizer_factory(spec.tokenizer_name,
+                                                args.model_name_or_path))
+    print(json.dumps({k: len(v) if isinstance(v, dict) else v
+                      for k, v in result.items()}))
+
+
+def cmd_preprocess_dpr(args):
+    from ance_tpu.data.dpr import DprPreprocessConfig, preprocess_dpr
+    from ance_tpu.models.registry import get_model_spec
+    spec = get_model_spec(args.model_type)
+    cfg = DprPreprocessConfig(
+        wiki_dir=args.wiki_dir, question_dir=args.question_dir,
+        answer_dir=args.answer_dir, out_data_dir=args.out_data_dir,
+        data_type=args.data_type, max_seq_length=args.max_seq_length,
+        num_processes=args.num_processes)
+    result = preprocess_dpr(cfg, _tokenizer_factory(
+        spec.tokenizer_name, args.model_name_or_path))
+    print(json.dumps({k: (len(v) if isinstance(v, dict) else v)
+                      for k, v in result.items()}))
+
+
+def _make_training(args, model, spec):
+    import jax
+    import jax.numpy as jnp
+    from ance_tpu.core.mesh import make_mesh
+    from ance_tpu.optim.schedules import warmup_cosine, warmup_linear
+    from ance_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step, triplet_loss_fn)
+
+    sched_fn = warmup_cosine if args.lr_style == "cosine" else warmup_linear
+    schedule = sched_fn(args.learning_rate, args.warmup_steps, args.max_steps)
+    opt = make_optimizer(args.optimizer, schedule, eps=args.adam_epsilon,
+                         weight_decay=args.weight_decay,
+                         max_grad_norm=args.max_grad_norm)
+    L = args.max_query_length
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    if args.model_name_or_path:
+        from ance_tpu.models.hf_loader import (
+            graft, load_torch_state_dict, robertadot_params_from_torch)
+        import os
+        if os.path.isdir(args.model_name_or_path) and any(
+                f.endswith(".bin") for f in os.listdir(args.model_name_or_path)):
+            sd = load_torch_state_dict(args.model_name_or_path)
+            params = graft(params, robertadot_params_from_torch(sd))
+            logger.info("warm-started from %s", args.model_name_or_path)
+    state = init_train_state(params, opt)
+    mesh = make_mesh() if args.data_parallel else None
+    step = make_train_step(
+        triplet_loss_fn(model, multichunk=spec.multichunk), opt,
+        accum_steps=args.gradient_accumulation_steps, mesh=mesh)
+    return state, step, mesh
+
+
+def _add_train_flags(p):
+    p.add_argument("--optimizer", default="lamb", choices=["lamb", "adamw"])
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--lr_style", default="linear", choices=["linear", "cosine"])
+    p.add_argument("--per_device_train_batch_size", type=int, default=32)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_parallel", action="store_true", default=True)
+    p.add_argument("--no_data_parallel", dest="data_parallel",
+                   action="store_false")
+
+
+def cmd_warmup(args):
+    import jax
+    from ance_tpu.train.warmup import WarmupConfig, run_warmup
+    spec, model = _build_model(args)
+    state, step, _ = _make_training(args, model, spec)
+    tokenizer = _tokenizer_factory(spec.tokenizer_name,
+                                   args.model_name_or_path)()
+    cfg = WarmupConfig(num_epochs=args.num_train_epochs,
+                       batch_size=args.per_device_train_batch_size,
+                       max_seq_length=args.max_seq_length,
+                       max_steps=args.max_steps,
+                       save_steps=args.save_steps,
+                       checkpoint_dir=args.output_dir)
+    state, history = run_warmup(cfg, state=state, train_step=step,
+                                tokenizer=tokenizer,
+                                triples_path=args.train_file,
+                                rng=jax.random.PRNGKey(args.seed))
+    print(json.dumps(history[-3:]))
+
+
+def cmd_train(args):
+    import jax
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.train.ance_loop import AnceCycleConfig, run_trainer_job
+    spec, model = _build_model(args)
+    state, step, _ = _make_training(args, model, spec)
+    cycle_cfg = AnceCycleConfig(batch_size=args.per_device_train_batch_size,
+                                shuffle_seed=args.seed)
+    with TokenCache(args.data_dir + "/train-query") as qc, \
+            TokenCache(args.data_dir + "/passages") as pc:
+        run_trainer_job(cycle_cfg, state=state, train_step=step,
+                        rng=jax.random.PRNGKey(args.seed),
+                        params_of=lambda s: s.params,
+                        query_cache=qc, passage_cache=pc,
+                        ann_dir=args.ann_dir, training_dir=args.output_dir,
+                        max_steps=args.max_steps,
+                        save_every=args.save_steps)
+
+
+def cmd_generate(args, inference_only=False):
+    import jax
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.train.ance_loop import (
+        load_offset_qrels, positives_from_qrels)
+    from ance_tpu.train.ann_gen import AnnGenConfig, generate_new_ann
+    from ance_tpu.train.encode import make_encode_fn
+    from ance_tpu.train import checkpoint as ckpt
+    import jax.numpy as jnp
+
+    spec, model = _build_model(args)
+    L = args.max_query_length
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    ckpt_path, step = ckpt.get_latest_checkpoint(args.training_dir,
+                                                 args.init_model_dir)
+    if ckpt_path and ckpt.is_complete(ckpt_path):
+        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+
+    qfn = make_encode_fn(model, type(model).query_emb)
+    body_method = type(model).body_emb_multichunk if spec.multichunk \
+        else type(model).body_emb
+    bfn = make_encode_fn(model, body_method)
+    gen_cfg = AnnGenConfig(topk_training=args.topk_training,
+                           negative_sample=args.negative_sample,
+                           ann_chunk_factor=args.ann_chunk_factor,
+                           ann_measure_topk_mrr=args.ann_measure_topk_mrr,
+                           multichunk=spec.multichunk,
+                           encode_batch_size=args.per_device_eval_batch_size)
+    train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
+    dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
+    with TokenCache(args.data_dir + "/dev-query") as dev_c, \
+            TokenCache(args.data_dir + "/passages") as pass_c, \
+            TokenCache(args.data_dir + "/train-query") as train_c:
+        result = generate_new_ann(
+            gen_cfg, output_num=args.output_num,
+            checkpoint_path=ckpt_path or "<init>", params=params,
+            query_encode_fn=qfn, body_encode_fn=bfn,
+            dev_query_cache=dev_c, passage_cache=pass_c,
+            train_query_cache=train_c,
+            training_query_positive_id=positives_from_qrels(train_qrels),
+            dev_query_positive_id=dev_qrels,
+            output_dir=args.output_dir, inference_only=inference_only)
+    if result and not inference_only:
+        print(json.dumps({"dev_ndcg": result["dev_ndcg"],
+                          "ann_mrr": result["ann_mrr"],
+                          "data_path": result["data_path"]}))
+
+
+def cmd_eval(args):
+    from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
+    metrics = compute_metrics_from_files(args.reference, args.candidate)
+    for k in sorted(metrics):
+        print(f"{k}: {metrics[k]}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="ance")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="MS MARCO raw TSV → binary caches")
+    _add_common_model_flags(p)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--out_data_dir", required=True)
+    p.add_argument("--data_type", type=int, default=1,
+                   help="0 = doc, 1 = passage (reference flag)")
+    p.add_argument("--max_doc_character", type=int, default=10000)
+    p.add_argument("--num_processes", type=int, default=32)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("preprocess-dpr", help="DPR wiki/json → binary caches")
+    _add_common_model_flags(p)
+    p.add_argument("--wiki_dir", required=True)
+    p.add_argument("--question_dir", required=True)
+    p.add_argument("--answer_dir", required=True)
+    p.add_argument("--out_data_dir", required=True)
+    p.add_argument("--data_type", type=int, default=0,
+                   help="0 = NQ, 1 = TriviaQA, 2 = both")
+    p.add_argument("--num_processes", type=int, default=16)
+    p.set_defaults(fn=cmd_preprocess_dpr)
+
+    p = sub.add_parser("warmup", help="BM25-triples warmup training")
+    _add_common_model_flags(p)
+    _add_train_flags(p)
+    p.add_argument("--train_file", required=True,
+                   help="triples.train.small.tsv")
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=5000)
+    p.add_argument("--output_dir", required=True)
+    p.set_defaults(fn=cmd_warmup)
+
+    p = sub.add_parser("train", help="ANCE trainer (polls ann_dir)")
+    _add_common_model_flags(p)
+    _add_train_flags(p)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--ann_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--save_steps", type=int, default=10000)
+    p.set_defaults(fn=cmd_train)
+
+    for name, inference in (("generate", False), ("infer", True)):
+        p = sub.add_parser(name)
+        _add_common_model_flags(p)
+        p.add_argument("--data_dir", required=True)
+        p.add_argument("--training_dir", required=True)
+        p.add_argument("--init_model_dir", default=None)
+        p.add_argument("--output_dir", required=True)
+        p.add_argument("--output_num", type=int, default=0)
+        p.add_argument("--topk_training", type=int, default=500)
+        p.add_argument("--negative_sample", type=int, default=5)
+        p.add_argument("--ann_chunk_factor", type=int, default=5)
+        p.add_argument("--ann_measure_topk_mrr", action="store_true")
+        p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+        p.set_defaults(fn=lambda a, inf=inference: cmd_generate(a, inf))
+
+    p = sub.add_parser("eval", help="official MS MARCO MRR scorer")
+    p.add_argument("reference")
+    p.add_argument("candidate")
+    p.set_defaults(fn=cmd_eval)
+    return parser
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

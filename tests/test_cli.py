@@ -1,0 +1,41 @@
+"""CLI surface: parser coverage + an end-to-end eval subcommand run."""
+
+import pytest
+
+from ance_tpu.cli import build_parser
+from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
+
+
+def test_parser_has_all_driver_equivalents():
+    parser = build_parser()
+    sub = next(a for a in parser._actions
+               if isinstance(a, type(parser._subparsers._group_actions[0])))
+    commands = set(sub.choices)
+    # the reference's 5 drivers + preprocessing + eval (SURVEY.md §1)
+    assert {"preprocess", "preprocess-dpr", "warmup", "train", "generate",
+            "infer", "eval"} <= commands
+
+
+def test_generate_parser_flags_match_reference_names():
+    parser = build_parser()
+    args = parser.parse_args([
+        "generate", "--data_dir", "d", "--training_dir", "t",
+        "--output_dir", "o", "--topk_training", "200",
+        "--negative_sample", "20", "--ann_chunk_factor", "5",
+        "--ann_measure_topk_mrr"])
+    assert args.topk_training == 200 and args.negative_sample == 20
+    assert args.ann_measure_topk_mrr
+
+
+def test_eval_subcommand(tmp_path, capsys):
+    ref = tmp_path / "qrels.tsv"
+    ref.write_text("1\t0\t7\t1\n2\t0\t9\t1\n")
+    cand = tmp_path / "cand.tsv"
+    cand.write_text("1\t7\t1\n1\t8\t2\n2\t5\t1\n")
+    metrics = compute_metrics_from_files(str(ref), str(cand))
+    assert metrics["MRR @10"] == pytest.approx(0.5)
+
+    from ance_tpu.cli import main
+    main(["eval", str(ref), str(cand)])
+    out = capsys.readouterr().out
+    assert "MRR @10: 0.5" in out

@@ -1,0 +1,84 @@
+"""WordPiece tokenizer: Python-reference vs C++ core vs HF BertTokenizer
+(instantiated from a local vocab file — no network)."""
+
+import numpy as np
+import pytest
+
+from ance_tpu.data.wordpiece import (
+    WordPieceTokenizer, basic_tokenize, wordpiece)
+
+VOCAB_TOKENS = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "the", "quick", "brown", "fox", "jump", "##ed", "##s", "over",
+    "lazy", "dog", "un", "##believ", "##able", "!", ",", ".", "'",
+    "hello", "world", "2023", "##23", "20", "a", "b", "c",
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    p.write_text("\n".join(VOCAB_TOKENS) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def tok(vocab_file):
+    return WordPieceTokenizer.from_vocab_file(vocab_file)
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("don't stop") == ["don", "'", "t", "stop"]
+    assert basic_tokenize("Café") == ["cafe"]  # accent stripped
+    assert basic_tokenize("tab\tand\nnewline") == ["tab", "and", "newline"]
+
+
+def test_wordpiece_greedy():
+    vocab = {t: i for i, t in enumerate(VOCAB_TOKENS)}
+    assert wordpiece("jumped", vocab) == ["jump", "##ed"]
+    assert wordpiece("unbelievable", vocab) == ["un", "##believ", "##able"]
+    assert wordpiece("xyzzy", vocab) == ["[UNK]"]
+    assert wordpiece("x" * 200, vocab) == ["[UNK]"]
+
+
+def test_encode_with_specials(tok):
+    ids = tok.encode("the quick fox jumped!")
+    toks = [VOCAB_TOKENS[i] for i in ids]
+    assert toks == ["[CLS]", "the", "quick", "fox", "jump", "##ed", "!",
+                    "[SEP]"]
+    pair = tok.encode("hello", text_pair="world")
+    assert [VOCAB_TOKENS[i] for i in pair] == \
+        ["[CLS]", "hello", "[SEP]", "world", "[SEP]"]
+    assert tok.encode("the quick fox", max_length=3) == \
+        [tok.cls_token_id, VOCAB_TOKENS.index("the"),
+         VOCAB_TOKENS.index("quick")]
+
+
+def test_native_matches_python(tok):
+    if tok._native is None:
+        pytest.skip("native core unavailable (no g++)")
+    texts = ["The Quick, brown FOX jumped over the lazy dog!",
+             "unbelievable!!! hello world 2023",
+             "a b c ' , . !", "", "    ", "x" * 150]
+    for t in texts:
+        native = tok._native.encode(t)
+        python = [tok.vocab.get(x, tok.unk_token_id) for x in tok.tokenize(t)]
+        assert native == python, t
+
+
+def test_matches_hf_bert_tokenizer(vocab_file, tok):
+    transformers = pytest.importorskip("transformers")
+    hf = transformers.BertTokenizer(vocab_file=vocab_file,
+                                    do_lower_case=True)
+    texts = ["The Quick, brown FOX jumped over the lazy dog!",
+             "unbelievable hello world", "Café au lait!",
+             "don't stop 2023"]
+    for t in texts:
+        ours = tok.encode(t, add_special_tokens=True)
+        theirs = hf.encode(t, add_special_tokens=True)
+        assert ours == theirs, t
+    # pair encoding
+    ours = tok.encode("hello", text_pair="world brown")
+    theirs = hf.encode("hello", text_pair="world brown")
+    assert ours == theirs
