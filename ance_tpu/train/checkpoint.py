@@ -86,6 +86,65 @@ def load_checkpoint(ckpt_dir: str, params_template: Any,
     return params, opt_state, meta
 
 
+class AsyncCheckpointer:
+    """Orbax-backed async checkpoint writer (non-blocking; the save runs in a
+    background thread while training continues — the TPU-native analogue of
+    the reference's rank-0 save fence, run_warmup.py:222-244).
+
+    Falls back to synchronous :func:`save_checkpoint` when orbax is
+    unavailable. The DONE marker is written by a completion callback so the
+    completeness protocol is identical in both modes.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        try:
+            import orbax.checkpoint as ocp
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+            self._ocp = ocp
+        except Exception:
+            self._ckptr = None
+
+    def save(self, step: int, params: Any, extra: Optional[dict] = None
+             ) -> str:
+        final = os.path.join(self.directory, f"checkpoint-{step}")
+        if self._ckptr is None:
+            return save_checkpoint(self.directory, step, params, extra=extra)
+        os.makedirs(self.directory, exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        self._ckptr.save(os.path.abspath(os.path.join(final, "params")),
+                         args=self._ocp.args.StandardSave(params))
+        self._pending = (final, step, extra)
+        return final
+
+    def wait(self) -> None:
+        """Block until the in-flight save lands, then publish meta + DONE."""
+        if self._ckptr is None:
+            return
+        self._ckptr.wait_until_finished()
+        if getattr(self, "_pending", None):
+            final, step, extra = self._pending
+            meta = {"step": int(step), "format": "orbax"}
+            meta.update(extra or {})
+            with open(os.path.join(final, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            with open(os.path.join(final, DONE_MARKER), "w") as f:
+                f.write(str(step))
+            self._pending = None
+
+    def restore(self, ckpt_dir: str, params_template: Any):
+        if self._ckptr is None or not os.path.exists(
+                os.path.join(ckpt_dir, "params")):
+            return load_checkpoint(ckpt_dir, params_template)[0]
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(
+                os.path.abspath(os.path.join(ckpt_dir, "params")),
+                target=params_template)
+
+
 def get_latest_checkpoint(training_dir: str,
                           init_model_dir: Optional[str] = None
                           ) -> tuple[Optional[str], int]:

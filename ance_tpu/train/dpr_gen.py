@@ -23,6 +23,72 @@ ANN_DATA_PREFIX = "ann_training_data_"
 ANN_NDCG_PREFIX = "ann_ndcg_"
 
 
+def generate_new_ann_dpr(*, output_num: int, checkpoint_path: str, params,
+                         query_encode_fn, body_encode_fn,
+                         train_query_cache, test_query_cache,
+                         trivia_test_query_cache, passage_cache,
+                         passage_texts: Mapping[int, tuple[str, str]],
+                         train_answers: Mapping[int, Sequence[str]],
+                         test_answers: Mapping[int, Sequence[str]],
+                         trivia_test_answers: Mapping[int, Sequence[str]],
+                         training_query_positive_id: Mapping[int, int],
+                         output_dir: str, topk_training: int = 100,
+                         negative_sample: int = 20,
+                         dev_search_depth: int = 100,
+                         encode_batch_size: int = 128,
+                         index=None, seed: int = 0) -> dict:
+    """One DPR encode→index→validate→mine→write pass
+    (reference run_ann_data_gen_dpr.py:204-278).
+
+    ``passage_texts`` is keyed by cache OFFSET (combine load_passage_texts
+    with pid2offset upstream — reference load_data builds exactly this)."""
+    from ance_tpu.index.flat import FlatIPIndex
+    from ance_tpu.train.encode import encode_cache
+
+    q_emb, q_ids = encode_cache(query_encode_fn, params, train_query_cache,
+                                encode_batch_size)
+    test_emb, test_ids = encode_cache(query_encode_fn, params,
+                                      test_query_cache, encode_batch_size)
+    trivia_emb, trivia_ids = encode_cache(
+        query_encode_fn, params, trivia_test_query_cache, encode_batch_size)
+    passage_emb, passage_ids = encode_cache(
+        body_encode_fn, params, passage_cache, encode_batch_size)
+
+    if index is None:
+        index = FlatIPIndex(dim=passage_emb.shape[1])
+    index.add(passage_emb)
+
+    k_dev = min(dev_search_depth, index.ntotal)
+    _, dev_I = index.search(test_emb, k_dev)
+    top_k_hits = validate(passage_texts, test_answers, np.asarray(dev_I),
+                          test_ids, passage_ids)
+    _, dev_I_trivia = index.search(trivia_emb, k_dev)
+    top_k_hits_trivia = validate(passage_texts, trivia_test_answers,
+                                 np.asarray(dev_I_trivia), trivia_ids,
+                                 passage_ids)
+
+    k_mine = min(topk_training, index.ntotal)
+    _, I = index.search(q_emb, k_mine)
+    negatives = mine_negatives_dpr(passage_texts, train_answers, q_ids,
+                                   passage_ids, np.asarray(I),
+                                   training_query_positive_id,
+                                   negative_sample)
+    metrics = {
+        "top20": top_k_hits[min(19, len(top_k_hits) - 1)],
+        "top100": top_k_hits[min(99, len(top_k_hits) - 1)],
+        "top20_trivia": top_k_hits_trivia[min(19, len(top_k_hits_trivia) - 1)],
+        "top100_trivia": top_k_hits_trivia[
+            min(99, len(top_k_hits_trivia) - 1)],
+    }
+    data_path, ndcg_path = write_dpr_ann_data(
+        output_dir, output_num, q_ids, training_query_positive_id, negatives,
+        metrics, checkpoint_path, seed=seed)
+    out = dict(metrics)
+    out.update({"data_path": data_path, "ndcg_path": ndcg_path,
+                "index": index})
+    return out
+
+
 def validate(passage_texts: Mapping[int, tuple[str, str]],
              answers: Mapping[int, Sequence[str]],
              closest_docs: np.ndarray,

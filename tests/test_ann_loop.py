@@ -193,3 +193,17 @@ def test_end_to_end_ance_cycles(tmp_path):
     # checkpoints complete and discoverable
     latest, step_no = ckpt.get_latest_checkpoint(str(tmp_path / "ckpt"))
     assert step_no == 450
+
+
+def test_async_checkpointer(tmp_path):
+    import jax.numpy as jnp
+    from ance_tpu.train.checkpoint import AsyncCheckpointer, get_latest_checkpoint
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    ck = AsyncCheckpointer(str(tmp_path / "ck"))
+    ck.save(10, params, extra={"cycle": 1})
+    ck.wait()
+    latest, step = get_latest_checkpoint(str(tmp_path / "ck"))
+    assert step == 10
+    restored = ck.restore(latest, jax.tree.map(jnp.zeros_like, params))
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(params["w"]))
