@@ -1,0 +1,146 @@
+"""Fused matmul + block-max exact top-k (Pallas).
+
+The streaming-scan top-k in :mod:`ance_tpu.index.flat` writes every [Q,
+chunk] score tile to HBM before `lax.top_k` reads it back — ~2·Q·N·4 bytes of
+traffic on top of the corpus read. This module implements the fused
+alternative (SURVEY.md §7.3 "fused matmul+top-k Pallas kernel"):
+
+  phase 1 (Pallas) — one kernel computes score tiles in VMEM and writes ONLY
+      per-``block_size``-row maxima: [Q, N/BS] — a BS× traffic reduction;
+  phase 2 (XLA)    — top-k over block maxima selects candidate blocks;
+  phase 3 (XLA)    — gather the k·BS candidate rows per query, re-score
+      exactly, final top-k (scanned over query tiles to bound memory).
+
+EXACTNESS (not an approximation): if entry e were in the true top-k but its
+block not among the top-k blocks by max, then ≥ k blocks would each contain
+an entry scoring above e — contradiction. Hence the union of the top-k blocks
+contains the true top-k entries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
+    """One corpus chunk: scores [Q, CHUNK] in VMEM → block maxima
+    [Q, CHUNK/BS] in HBM."""
+    q = q_ref[...]
+    c = c_ref[...]
+    s = jax.lax.dot_general(q, c, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    Q, chunk = s.shape
+    r = s.reshape(Q, chunk // block_size, block_size)
+    o_ref[...] = jnp.max(r, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "chunk_rows",
+                                             "interpret"))
+def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
+                    block_size: int = 32, chunk_rows: int = 4096,
+                    interpret: bool = False) -> jax.Array:
+    """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size].
+
+    N must be a multiple of chunk_rows, chunk_rows of block_size (pad
+    upstream; padded rows should be zero vectors — their score 0 may only
+    matter if real scores are all negative AND padding exists, which
+    :func:`topk_blockmax` guards by masking padded blocks).
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    assert N % chunk_rows == 0 and chunk_rows % block_size == 0
+    n_chunks = N // chunk_rows
+    blocks_per_chunk = chunk_rows // block_size
+
+    kernel = functools.partial(_blockmax_kernel, block_size=block_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_rows, D), lambda ci: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, blocks_per_chunk), lambda ci: (0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, N // block_size), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * N * D,
+            bytes_accessed=(Q * D + N * D) * queries.dtype.itemsize +
+            Q * (N // block_size) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(queries, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size", "chunk_rows",
+                                             "q_tile", "interpret"))
+def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
+                  block_size: int = 32, chunk_rows: int = 4096,
+                  q_tile: int = 64, interpret: bool = False,
+                  valid_rows=None):
+    """Exact top-k inner product via the block-max bound.
+
+    Returns (scores [Q, k] fp32, ids [Q, k] int32). Corpus rows ≥
+    ``valid_rows`` are treated as padding (excluded).
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    if valid_rows is None:
+        valid_rows = jnp.asarray(N, jnp.int32)
+
+    # pad corpus rows to chunk multiple, queries to q_tile multiple
+    padded_n = -(-N // chunk_rows) * chunk_rows
+    corpus_p = jnp.pad(corpus, ((0, padded_n - N), (0, 0)))
+    padded_q = -(-Q // q_tile) * q_tile
+    queries_p = jnp.pad(queries, ((0, padded_q - Q), (0, 0)))
+
+    qf = queries_p.astype(corpus.dtype)
+    bm = blockmax_scores(qf, corpus_p, block_size=block_size,
+                         chunk_rows=chunk_rows, interpret=interpret)
+    n_blocks = padded_n // block_size
+    block_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_blocks), 1)
+    block_valid = block_ids * block_size < valid_rows
+    bm = jnp.where(block_valid, bm, NEG_INF)
+
+    k_blocks = min(k, n_blocks)
+    _, top_blocks = jax.lax.top_k(bm, k_blocks)      # [Qp, k_blocks]
+
+    # phase 3: per-query-tile candidate gather + exact re-score
+    n_tiles = padded_q // q_tile
+    tb_tiles = top_blocks.reshape(n_tiles, q_tile, k_blocks)
+    q_tiles = queries_p.reshape(n_tiles, q_tile, D).astype(jnp.float32)
+
+    def tile_body(carry, inp):
+        q_t, blocks_t = inp                           # [T, D], [T, kb]
+        rows = (blocks_t[:, :, None] * block_size +
+                jnp.arange(block_size)[None, None, :]
+                ).reshape(q_tile, k_blocks * block_size)  # [T, kb*BS]
+        cand = corpus_p[rows]                          # [T, kb*BS, D]
+        s = jnp.einsum("td,tcd->tc", q_t, cand.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(rows < valid_rows, s, NEG_INF)
+        top_s, pos = jax.lax.top_k(s, min(k, s.shape[1]))
+        top_i = jnp.take_along_axis(rows, pos, axis=1).astype(jnp.int32)
+        if top_s.shape[1] < k:  # k > kb*BS (tiny corpora)
+            pad = k - top_s.shape[1]
+            top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                            constant_values=NEG_INF)
+            top_i = jnp.pad(top_i, ((0, 0), (0, pad)), constant_values=-1)
+        return carry, (top_s, top_i)
+
+    _, (scores, ids) = jax.lax.scan(tile_body, None, (q_tiles, tb_tiles))
+    scores = scores.reshape(padded_q, -1)[:Q]
+    ids = ids.reshape(padded_q, -1)[:Q]
+    ids = jnp.where(scores <= NEG_INF, -1, ids)
+    return scores, ids
