@@ -40,6 +40,20 @@ def expand_triples(lines: Sequence[str]) -> np.ndarray:
     return np.asarray(rows, dtype=np.int64).reshape(-1, 3)
 
 
+def sample_one_neg_triples(lines: Sequence[str], seed: int = 0) -> np.ndarray:
+    """Lines → [T, 3] with ONE randomly chosen negative per line — the DPR
+    feed semantics (reference DPR_data.py:321-327: shuffle negs, take the
+    first)."""
+    rs = np.random.RandomState(seed)
+    rows = []
+    for line in lines:
+        if not line.strip():
+            continue
+        qid, pos, negs = parse_triple_line(line)
+        rows.append((qid, pos, negs[rs.randint(len(negs))]))
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 3)
+
+
 def mask_from_lengths(lengths: np.ndarray, max_len: int) -> np.ndarray:
     return (np.arange(max_len)[None, :] < lengths[:, None]).astype(np.int32)
 

@@ -134,7 +134,9 @@ def run_generator_job(gen_cfg: AnnGenConfig, *,
     """Poll ``training_dir`` for new complete checkpoints; regenerate on each
     (reference run_ann_data_gen.py:663-702, 60 s sleep loop)."""
     training_positive = positives_from_qrels(train_qrels)
-    last_checkpoint = None
+    last_checkpoint = object()  # sentinel: first pass always generates, even
+    # with no checkpoint yet (reference generates from init_model_dir,
+    # run_ann_data_gen.py:664-700)
     output_num, _, _ = get_latest_ann_data(output_dir)
     output_num += 1
     history = []
@@ -176,10 +178,14 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     max_steps: int,
                     poll_every: int = 100,
                     save_every: int = 500,
-                    poll_interval: float = 5.0) -> object:
+                    poll_interval: float = 5.0,
+                    triples_fn: Callable = expand_triples) -> object:
     """Train forever, polling ``ann_dir`` for fresh data every ``poll_every``
     steps and checkpointing every ``save_every``
-    (reference run_ann.py:180-334)."""
+    (reference run_ann.py:180-334).
+
+    ``triples_fn``: lines → [T, 3] triples; pass
+    :func:`ance_tpu.data.feed.sample_one_neg_triples` for the DPR feed."""
     last_data_no = -1
     it = None
     step_count = int(jax.device_get(state.step))
@@ -189,7 +195,7 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
             if data_no > last_data_no and data_path:
                 lines = open(data_path).read().splitlines()
                 feed = TripletBatches(
-                    query_cache, passage_cache, expand_triples(lines),
+                    query_cache, passage_cache, triples_fn(lines),
                     batch_size=cycle_cfg.batch_size,
                     seed=cycle_cfg.shuffle_seed + data_no)
                 it = infinite_batches(feed)

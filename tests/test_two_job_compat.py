@@ -1,0 +1,100 @@
+"""Two-job filesystem-polling compatibility mode: generator and trainer
+communicating only via checkpoint dirs and ann data files (the reference's
+process architecture, commands/run_train.sh:2-21)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ance_tpu.data.cache import TokenCache
+from ance_tpu.data.feed import parse_triple_line, sample_one_neg_triples
+from ance_tpu.models.dot_models import RobertaDot
+from ance_tpu.models.transformer import EncoderConfig
+from ance_tpu.optim.schedules import warmup_linear
+from ance_tpu.train import checkpoint as ckpt
+from ance_tpu.train.ance_loop import (
+    AnceCycleConfig, run_generator_job, run_trainer_job)
+from ance_tpu.train.ann_gen import AnnGenConfig, get_latest_ann_data
+from ance_tpu.train.encode import make_encode_fn
+from ance_tpu.train.trainer import (
+    init_train_state, make_optimizer, make_train_step, triplet_loss_fn)
+
+from test_ann_loop import QLEN, VOCAB, _build_corpus
+
+
+def test_sample_one_neg_triples():
+    lines = ["1\t10\t5,6,7", "2\t20\t9"]
+    t = sample_one_neg_triples(lines, seed=0)
+    assert t.shape == (2, 3)
+    assert t[0, 2] in (5, 6, 7) and t[1].tolist() == [2, 20, 9]
+
+
+def test_two_job_handoff(tmp_path):
+    paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    opt = make_optimizer("lamb", warmup_linear(5e-3, 5, 2000))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model), opt)
+    qfn = make_encode_fn(model, RobertaDot.query_emb)
+    bfn = make_encode_fn(model, RobertaDot.body_emb)
+
+    ann_dir = str(tmp_path / "ann_data")
+    training_dir = str(tmp_path / "training")
+    gen_cfg = AnnGenConfig(topk_training=16, negative_sample=4,
+                           ann_chunk_factor=1, dev_search_depth=16,
+                           encode_batch_size=32)
+
+    def load_params(ckpt_dir):
+        loaded, _, _ = ckpt.load_checkpoint(ckpt_dir, params)
+        return loaded
+
+    caches = {n: TokenCache(paths[n]).open()
+              for n in ("passages", "train-query", "dev-query")}
+
+    # generator pass 1: no checkpoint yet → generates from init params
+    history = run_generator_job(
+        gen_cfg, training_dir=training_dir, init_params=params,
+        load_params=load_params, query_encode_fn=qfn, body_encode_fn=bfn,
+        dev_query_cache=caches["dev-query"], passage_cache=caches["passages"],
+        train_query_cache=caches["train-query"], train_qrels=train_qrels,
+        dev_qrels=dev_qrels, output_dir=ann_dir, max_iterations=1,
+        poll_interval=0.0)
+    assert len(history) == 1
+    data_no, data_path, meta = get_latest_ann_data(ann_dir)
+    assert data_no == 0 and "ndcg" in meta
+    for line in open(data_path).read().splitlines():
+        parse_triple_line(line)  # well-formed
+
+    # trainer: discovers data 0, trains to step 6, checkpoints every 3
+    state = run_trainer_job(
+        AnceCycleConfig(batch_size=16, shuffle_seed=1),
+        state=state, train_step=step, rng=jax.random.PRNGKey(2),
+        params_of=lambda s: s.params,
+        query_cache=caches["train-query"], passage_cache=caches["passages"],
+        ann_dir=ann_dir, training_dir=training_dir, max_steps=6,
+        poll_every=2, save_every=3, poll_interval=0.0)
+    assert int(jax.device_get(state.step)) == 6
+    latest, step_no = ckpt.get_latest_checkpoint(training_dir)
+    assert step_no == 6
+
+    # generator pass 2: sees checkpoint-6, produces ann data 1 citing it
+    history = run_generator_job(
+        gen_cfg, training_dir=training_dir, init_params=params,
+        load_params=load_params, query_encode_fn=qfn, body_encode_fn=bfn,
+        dev_query_cache=caches["dev-query"], passage_cache=caches["passages"],
+        train_query_cache=caches["train-query"], train_qrels=train_qrels,
+        dev_qrels=dev_qrels, output_dir=ann_dir, max_iterations=1,
+        poll_interval=0.0)
+    assert history[0]["checkpoint"].endswith("checkpoint-6")
+    data_no, _, meta = get_latest_ann_data(ann_dir)
+    assert data_no == 1
+    assert meta["checkpoint"].endswith("checkpoint-6")
