@@ -119,9 +119,14 @@ def _make_training(args, model, spec):
             logger.info("warm-started from %s", args.model_name_or_path)
     state = init_train_state(params, opt)
     mesh = make_mesh() if args.data_parallel else None
-    step = make_train_step(
-        triplet_loss_fn(model, multichunk=spec.multichunk), opt,
-        accum_steps=args.gradient_accumulation_steps, mesh=mesh)
+    if spec.loss == "dpr_inbatch":
+        from ance_tpu.train.dpr_trainer import (
+            biencoder_loss_fn, make_dpr_train_step)
+        step = make_dpr_train_step(biencoder_loss_fn(model), opt, mesh=mesh)
+    else:
+        step = make_train_step(
+            triplet_loss_fn(model, multichunk=spec.multichunk), opt,
+            accum_steps=args.gradient_accumulation_steps, mesh=mesh)
     return state, step, mesh
 
 
@@ -165,11 +170,14 @@ def cmd_warmup(args):
 def cmd_train(args):
     import jax
     from ance_tpu.data.cache import TokenCache
+    from ance_tpu.data.feed import expand_triples, sample_one_neg_triples
     from ance_tpu.train.ance_loop import AnceCycleConfig, run_trainer_job
     spec, model = _build_model(args)
     state, step, _ = _make_training(args, model, spec)
     cycle_cfg = AnceCycleConfig(batch_size=args.per_device_train_batch_size,
                                 shuffle_seed=args.seed)
+    triples_fn = sample_one_neg_triples if spec.loss == "dpr_inbatch" \
+        else expand_triples
     with TokenCache(args.data_dir + "/train-query") as qc, \
             TokenCache(args.data_dir + "/passages") as pc:
         run_trainer_job(cycle_cfg, state=state, train_step=step,
@@ -178,7 +186,50 @@ def cmd_train(args):
                         query_cache=qc, passage_cache=pc,
                         ann_dir=args.ann_dir, training_dir=args.output_dir,
                         max_steps=args.max_steps,
-                        save_every=args.save_steps)
+                        save_every=args.save_steps, triples_fn=triples_fn)
+
+
+def cmd_ance_loop(args):
+    """Single-program pipelined refresh (the TPU-native mode)."""
+    import jax
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.train.ance_loop import load_offset_qrels
+    from ance_tpu.train.encode import make_encode_fn
+    from ance_tpu.train.pipelined import PipelineConfig, PipelinedAnce
+    from ance_tpu.train import checkpoint as ckpt
+
+    spec, model = _build_model(args)
+    state, step, mesh = _make_training(args, model, spec)
+    body_method = type(model).body_emb_multichunk if spec.multichunk \
+        else type(model).body_emb
+    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
+    bfn = make_encode_fn(model, body_method, mesh=mesh)
+    cfg = PipelineConfig(
+        train_steps_per_slice=args.train_steps_per_slice,
+        encode_slice_size=args.encode_slice_size,
+        encode_batch_size=args.per_device_eval_batch_size,
+        batch_size=args.per_device_train_batch_size,
+        topk_training=args.topk_training,
+        negative_sample=args.negative_sample,
+        ann_chunk_factor=args.ann_chunk_factor,
+        multichunk=spec.multichunk, shuffle_seed=args.seed)
+    train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
+    dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
+    with TokenCache(args.data_dir + "/passages") as pc, \
+            TokenCache(args.data_dir + "/train-query") as tq, \
+            TokenCache(args.data_dir + "/dev-query") as dq:
+        loop = PipelinedAnce(
+            cfg, state=state, train_step=step,
+            rng=jax.random.PRNGKey(args.seed),
+            params_of=lambda s: s.params,
+            query_encode_fn=qfn, body_encode_fn=bfn,
+            passage_cache=pc, train_query_cache=tq, dev_query_cache=dq,
+            train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh)
+        loop.run(args.max_steps)
+        ckpt.save_checkpoint(args.output_dir,
+                             int(jax.device_get(loop.state.step)),
+                             loop.state.params)
+    print(json.dumps(loop.history[-3:]))
 
 
 def cmd_generate(args, inference_only=False):
@@ -281,6 +332,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", required=True)
     p.add_argument("--save_steps", type=int, default=10000)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("ance-loop",
+                       help="single-program pipelined refresh (TPU-native)")
+    _add_common_model_flags(p)
+    _add_train_flags(p)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--train_steps_per_slice", type=int, default=8)
+    p.add_argument("--encode_slice_size", type=int, default=65536)
+    p.add_argument("--topk_training", type=int, default=500)
+    p.add_argument("--negative_sample", type=int, default=5)
+    p.add_argument("--ann_chunk_factor", type=int, default=5)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.set_defaults(fn=cmd_ance_loop)
 
     for name, inference in (("generate", False), ("infer", True)):
         p = sub.add_parser(name)

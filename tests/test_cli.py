@@ -13,7 +13,7 @@ def test_parser_has_all_driver_equivalents():
     commands = set(sub.choices)
     # the reference's 5 drivers + preprocessing + eval (SURVEY.md §1)
     assert {"preprocess", "preprocess-dpr", "warmup", "train", "generate",
-            "infer", "eval"} <= commands
+            "infer", "eval", "ance-loop"} <= commands
 
 
 def test_generate_parser_flags_match_reference_names():
