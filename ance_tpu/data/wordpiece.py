@@ -116,6 +116,16 @@ class WordPieceTokenizer:
         self.sep_token_id = vocab[sep_token]
         self.pad_token_id = vocab[pad_token]
         self.unk_token_id = vocab[unk_token]
+        # special-token literals in raw text are never split (HF
+        # BasicTokenizer never_split / tokenizers added-tokens semantics)
+        specials = [cls_token, sep_token, pad_token, unk_token, "[MASK]",
+                    "<mask>"]
+        self._specials = {s for s in specials if s in vocab}
+        import re as _re
+        self._special_re = _re.compile(
+            "(" + "|".join(_re.escape(s) for s in
+                           sorted(self._specials, key=len, reverse=True)) +
+            ")") if self._specials else None
         self._native = _load_native(vocab, unk_token, lowercase)
 
     @classmethod
@@ -132,17 +142,39 @@ class WordPieceTokenizer:
 
     def tokenize(self, text: str) -> list[str]:
         out: list[str] = []
-        for tok in basic_tokenize(text, self.lowercase):
-            out.extend(wordpiece(tok, self.vocab, self.unk_token))
+        for is_special, seg in self._segments(text):
+            if is_special:
+                out.append(seg)
+                continue
+            for tok in basic_tokenize(seg, self.lowercase):
+                out.extend(wordpiece(tok, self.vocab, self.unk_token))
         return out
 
+    def _segments(self, text: str):
+        """Split text on special-token literals (kept atomic)."""
+        if self._special_re is None:
+            yield False, text
+            return
+        for part in self._special_re.split(text):
+            if not part:
+                continue
+            yield part in self._specials, part
+
     def _token_ids(self, text: str) -> list[int]:
-        # C++ core handles the ASCII fast path; non-ASCII goes through the
-        # Python reference (accent stripping / CJK / unicode categories)
-        if self._native is not None and text.isascii():
-            return self._native.encode(text)
-        return [self.vocab.get(t, self.unk_token_id)
-                for t in self.tokenize(text)]
+        out: list[int] = []
+        for is_special, seg in self._segments(text):
+            if is_special:
+                out.append(self.vocab[seg])
+            # C++ core handles the ASCII fast path; non-ASCII goes through
+            # the Python reference (accent strip / CJK / unicode categories)
+            elif self._native is not None and seg.isascii():
+                out.extend(self._native.encode(seg))
+            else:
+                for tok in basic_tokenize(seg, self.lowercase):
+                    out.extend(self.vocab.get(p, self.unk_token_id)
+                               for p in wordpiece(tok, self.vocab,
+                                                  self.unk_token))
+        return out
 
     def encode(self, text: str, text_pair: Optional[str] = None,
                add_special_tokens: bool = True,
@@ -157,6 +189,50 @@ class WordPieceTokenizer:
         if max_length is not None:
             ids = ids[:max_length]
         return ids
+
+
+class SeedTokenizer(WordPieceTokenizer):
+    """SEED-Encoder tokenizer (reference tokenization_seed_encoder.py:49-258).
+
+    WordPiece over the SEED ``vocab.txt`` with NO case-folding or accent
+    stripping at the tokenizer level (BertWordPieceTokenizer(lowercase=False,
+    strip_accents=False), reference :292) plus ``<mask>`` appended; the
+    ``do_lower_case`` flag instead lowercases the raw TEXT around special
+    tokens before encoding (reference :252-257).
+    """
+
+    SPECIALS = ("[CLS]", "[PAD]", "[UNK]", "[SEP]")
+
+    def __init__(self, vocab: dict[str, int], do_lower_case: bool = True):
+        if "<mask>" not in vocab:
+            vocab = dict(vocab)
+            vocab["<mask>"] = len(vocab)
+        super().__init__(vocab, lowercase=False)
+        self.do_lower_case = do_lower_case
+        self.mask_token_id = vocab["<mask>"]
+
+    @classmethod
+    def from_vocab_file(cls, path, do_lower_case: bool = True
+                        ) -> "SeedTokenizer":
+        base = WordPieceTokenizer.from_vocab_file(path)
+        return cls(base.vocab, do_lower_case)
+
+    def _lower_preserving_specials(self, text: str) -> str:
+        import re
+        escaped = [re.escape(t) for t in self.SPECIALS]
+        pattern = r"(" + r"|".join(escaped) + r")|(.+?)"
+        return re.sub(pattern,
+                      lambda m: m.groups()[0] or m.groups()[1].lower(), text)
+
+    def encode(self, text, text_pair=None, add_special_tokens=True,
+               max_length=None):
+        if self.do_lower_case:
+            text = self._lower_preserving_specials(text)
+            if text_pair is not None:
+                text_pair = self._lower_preserving_specials(text_pair)
+        return super().encode(text, text_pair,
+                              add_special_tokens=add_special_tokens,
+                              max_length=max_length)
 
 
 def _load_native(vocab: dict[str, int], unk_token: str, lowercase: bool):

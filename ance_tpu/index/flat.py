@@ -104,15 +104,26 @@ class FlatIPIndex:
 
     def __init__(self, dim: int, mesh: Optional[Mesh] = None,
                  axis: str = "data", dtype=jnp.float32,
-                 chunk_rows: int = 16384):
+                 chunk_rows: int = 16384, method: str = "auto"):
+        """``method``: 'scan' (streaming lax.scan merge), 'blockmax' (fused
+        Pallas matmul+block-max kernel, ~5× faster on TPU — see
+        ops/topk.py), or 'auto' (blockmax on TPU, scan elsewhere)."""
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
         self.dtype = dtype
         self.chunk_rows = chunk_rows
+        self.method = method
         self._emb: Optional[jax.Array] = None
         self._ntotal = 0
         self._search = None
+
+    def _use_blockmax(self) -> bool:
+        if self.method == "blockmax":
+            return True
+        if self.method == "scan":
+            return False
+        return jax.default_backend() not in ("cpu",)
 
     @property
     def ntotal(self) -> int:
@@ -136,19 +147,35 @@ class FlatIPIndex:
     def reset(self) -> None:
         self._emb, self._ntotal, self._search = None, 0, None
 
+    def _topk_fn(self, k: int, max_rows: int):
+        """Per-device exact top-k: fused blockmax kernel or scan merge."""
+        chunk_rows = min(self.chunk_rows, max_rows)
+        if self._use_blockmax():
+            from ance_tpu.ops.topk import topk_blockmax
+
+            def fn(queries, emb, valid):
+                return topk_blockmax(queries, emb, k=k, valid_rows=valid)
+            return fn
+
+        def fn(queries, emb, valid):
+            return topk_inner_product(queries, emb, k=k,
+                                      chunk_rows=chunk_rows,
+                                      valid_rows=valid)
+        return fn
+
     def _build_search(self, k: int):
-        chunk_rows = self.chunk_rows
         ntotal = self._ntotal
         if self.mesh is None:
+            topk = self._topk_fn(k, self._emb.shape[0])
+
             def search_fn(queries, emb):
-                return topk_inner_product(
-                    queries, emb, k=k, chunk_rows=chunk_rows,
-                    valid_rows=jnp.asarray(ntotal, jnp.int32))
+                return topk(queries, emb, jnp.asarray(ntotal, jnp.int32))
             return jax.jit(search_fn)
 
         mesh, axis = self.mesh, self.axis
         n_shards = mesh.shape[axis]
         rows_per_shard = self._emb.shape[0] // n_shards
+        topk = self._topk_fn(k, rows_per_shard)
 
         def shard_search(queries, emb_shard):
             shard_id = jax.lax.axis_index(axis)
@@ -156,10 +183,7 @@ class FlatIPIndex:
             valid = jnp.maximum(
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(ntotal, jnp.int32) - base)
-            s, i = topk_inner_product(
-                queries, emb_shard, k=k,
-                chunk_rows=min(chunk_rows, rows_per_shard),
-                valid_rows=valid)
+            s, i = topk(queries, emb_shard, valid)
             i = jnp.where(i >= 0, i + base, i)
             # gather tiny [Q, k] candidates from every shard, merge locally
             all_s = jax.lax.all_gather(s, axis)           # [S, Q, k]

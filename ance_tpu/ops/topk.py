@@ -30,21 +30,27 @@ NEG_INF = jnp.finfo(jnp.float32).min
 
 
 def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
-    """One corpus chunk: scores [Q, CHUNK] in VMEM → block maxima
-    [Q, CHUNK/BS] in HBM."""
+    """One corpus chunk: transposed scores [CHUNK, Q] in VMEM → block maxima
+    [CHUNK/BS, Q] in HBM.
+
+    The reduction groups CHUNK rows on the SUBLANE axis — Mosaic supports
+    reshapes that keep the minor (lane) dimension intact, so the scores are
+    computed corpus-major ([CHUNK, Q]) and the caller transposes the final
+    [N/BS, Q] block-max matrix once in XLA.
+    """
     q = q_ref[...]
     c = c_ref[...]
-    s = jax.lax.dot_general(q, c, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    Q, chunk = s.shape
-    r = s.reshape(Q, chunk // block_size, block_size)
-    o_ref[...] = jnp.max(r, axis=-1)
+    s = jax.lax.dot_general(c, q, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [CHUNK, Q]
+    chunk, Q = s.shape
+    r = s.reshape(chunk // block_size, block_size, Q)
+    o_ref[...] = jnp.max(r, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "chunk_rows",
                                              "interpret"))
 def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
-                    block_size: int = 32, chunk_rows: int = 4096,
+                    block_size: int = 32, chunk_rows: int = 1024,
                     interpret: bool = False) -> jax.Array:
     """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size].
 
@@ -60,7 +66,7 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
     blocks_per_chunk = chunk_rows // block_size
 
     kernel = functools.partial(_blockmax_kernel, block_size=block_size)
-    return pl.pallas_call(
+    bm_t = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
@@ -69,9 +75,9 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
             pl.BlockSpec((chunk_rows, D), lambda ci: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Q, blocks_per_chunk), lambda ci: (0, ci),
+        out_specs=pl.BlockSpec((blocks_per_chunk, Q), lambda ci: (ci, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, N // block_size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N // block_size, Q), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -81,12 +87,13 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
             transcendentals=0),
         interpret=interpret,
     )(queries, corpus)
+    return bm_t.T
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_size", "chunk_rows",
                                              "q_tile", "interpret"))
 def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
-                  block_size: int = 32, chunk_rows: int = 4096,
+                  block_size: int = 32, chunk_rows: int = 1024,
                   q_tile: int = 64, interpret: bool = False,
                   valid_rows=None):
     """Exact top-k inner product via the block-max bound.

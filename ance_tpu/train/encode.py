@@ -57,26 +57,39 @@ def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
 
 def encode_cache(encode_fn: Callable, params, cache: TokenCache,
                  batch_size: int = 128, multichunk: bool = False,
-                 start: int = 0, stop: Optional[int] = None
-                 ) -> tuple[np.ndarray, np.ndarray]:
+                 start: int = 0, stop: Optional[int] = None,
+                 flush_every: int = 16) -> tuple[np.ndarray, np.ndarray]:
     """Encode cache records [start, stop) → (embeddings [M, D] fp32,
     embedding2id [M] int64).
 
     With ``multichunk`` the encoder returns [B, C, D]; rows flatten to
     [B·C, D] and each record id repeats C times
     (reference run_ann_data_gen.py:182-189 MaxP handling).
+
+    Dispatch is pipelined: up to ``flush_every`` batches stay in flight as
+    device arrays before being pulled to host, so the host tokenization/
+    gather overlaps device compute instead of synchronizing per batch.
     """
     emb_parts, id_parts = [], []
+    pending: list[tuple[jax.Array, int, np.ndarray]] = []
+
+    def flush():
+        for out_dev, real, keys in pending:
+            out = np.asarray(out_dev, dtype=np.float32)
+            if multichunk:
+                C = out.shape[1]
+                emb_parts.append(out[:real].reshape(real * C, -1))
+                id_parts.append(np.repeat(keys, C))
+            else:
+                emb_parts.append(out[:real])
+                id_parts.append(keys)
+        pending.clear()
+
     for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop):
-        out = np.asarray(encode_fn(params, jnp.asarray(ids),
-                                   jnp.asarray(mask)), dtype=np.float32)
-        real = len(keys)
-        if multichunk:
-            C = out.shape[1]
-            emb_parts.append(out[:real].reshape(real * C, -1))
-            id_parts.append(np.repeat(keys, C))
-        else:
-            emb_parts.append(out[:real])
-            id_parts.append(keys)
+        out_dev = encode_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        pending.append((out_dev, len(keys), keys))
+        if len(pending) >= flush_every:
+            flush()
+    flush()
     return (np.concatenate(emb_parts, axis=0),
             np.concatenate(id_parts, axis=0).astype(np.int64))

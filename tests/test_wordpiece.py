@@ -82,3 +82,19 @@ def test_matches_hf_bert_tokenizer(vocab_file, tok):
     ours = tok.encode("hello", text_pair="world brown")
     theirs = hf.encode("hello", text_pair="world brown")
     assert ours == theirs
+
+
+def test_seed_tokenizer(vocab_file):
+    from ance_tpu.data.wordpiece import SeedTokenizer
+    tok = SeedTokenizer.from_vocab_file(vocab_file, do_lower_case=True)
+    # mask appended after the vocab
+    assert tok.mask_token_id == len(VOCAB_TOKENS)
+    # do_lower_case lowers text but preserves special-token literals
+    ids = tok.encode("THE QUICK [SEP] FOX", add_special_tokens=False)
+    toks = [("<mask>" if i == tok.mask_token_id else VOCAB_TOKENS[i])
+            for i in ids]
+    assert toks == ["the", "quick", "[SEP]", "fox"]
+    # no accent stripping at the wordpiece level (strip_accents=False):
+    # 'café' keeps its accent and (absent from vocab) maps to [UNK]
+    ids2 = tok.encode("café", add_special_tokens=False)
+    assert ids2 == [tok.unk_token_id]
