@@ -175,3 +175,27 @@ def test_encode_cache_and_multichunk(tmp_path):
                                     start=10, stop=20)
         np.testing.assert_array_equal(ids_r, np.arange(10, 20))
         np.testing.assert_allclose(emb_r, emb[10:20], rtol=1e-4, atol=1e-5)
+
+
+def test_maxp_multichunk_training_step(tmp_path):
+    """MaxP: body encoded as chunks, NLL_MultiChunk loss, one train step
+    (reference rdot_nll_multi_chunk path, models.py:160-199 + 84-134)."""
+    qbase, pbase = _write_caches(tmp_path)
+    model = _tiny_model()  # base_len=4 → PLEN=12 gives 3 chunks
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        lines = [f"{i}\t{i}\t{(i + 5) % 64}" for i in range(16)]
+        feed = TripletBatches(qc, pc, expand_triples(lines), batch_size=16)
+        batch = next(feed.epoch(0))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    opt = make_optimizer("lamb", warmup_linear(5e-3, 2, 1000))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model, multichunk=True), opt)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # same batch repeated → must improve
