@@ -289,6 +289,21 @@ def cmd_eval(args):
         print(f"{k}: {metrics[k]}")
 
 
+def cmd_eval_full(args):
+    from ance_tpu.evaluation.offline import (
+        full_ranking_eval, load_embedding_shards)
+    from ance_tpu.train.ance_loop import load_offset_qrels
+    q = load_embedding_shards(args.query_prefix)
+    q_ids = load_embedding_shards(args.query_id_prefix)
+    p = load_embedding_shards(args.passage_prefix)
+    p_ids = load_embedding_shards(args.passage_id_prefix)
+    if any(x is None for x in (q, q_ids, p, p_ids)):
+        raise SystemExit("missing embedding shards")
+    qrels = load_offset_qrels(args.qrels)
+    print(json.dumps(full_ranking_eval(q, q_ids, p, p_ids, qrels,
+                                       topn=args.topn)))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="ance")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -366,6 +381,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("reference")
     p.add_argument("candidate")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("eval-full",
+                       help="offline eval over dumped embedding shards "
+                            "(notebook equivalent)")
+    p.add_argument("--query_prefix", required=True)
+    p.add_argument("--query_id_prefix", required=True)
+    p.add_argument("--passage_prefix", required=True)
+    p.add_argument("--passage_id_prefix", required=True)
+    p.add_argument("--qrels", required=True,
+                   help="offset-space qrels tsv (train/dev-qrel.tsv)")
+    p.add_argument("--topn", type=int, default=1000)
+    p.set_defaults(fn=cmd_eval_full)
     return parser
 
 

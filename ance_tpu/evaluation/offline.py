@@ -87,6 +87,16 @@ def rerank_eval(query_embs: np.ndarray, query_ids: np.ndarray,
     return out
 
 
+def save_embedding_shard(prefix: str, array: np.ndarray, rank: int = 0
+                         ) -> str:
+    """Dump one embedding shard in the reference's barrier_array_merge
+    layout so the notebook-compatible tooling can read it
+    (reference util.py:108-113)."""
+    path = f"{prefix}_data_obj_{rank}.npy"
+    np.save(path, np.asarray(array), allow_pickle=False)
+    return path
+
+
 def load_embedding_shards(prefix: str, max_shards: int = 8
                           ) -> Optional[np.ndarray]:
     """Concatenate ``<prefix>_data_obj_<rank>.npy`` shards the reference's

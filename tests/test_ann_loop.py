@@ -207,3 +207,43 @@ def test_async_checkpointer(tmp_path):
     restored = ck.restore(latest, jax.tree.map(jnp.zeros_like, params))
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.asarray(params["w"]))
+
+
+def test_generate_new_ann_multichunk(tmp_path):
+    """MaxP generation: multi-vector rows flatten with repeated ids; mining
+    and dev eval dedup by passage id (reference run_ann_data_gen.py:182-189,
+    409-423)."""
+    from ance_tpu.train.ann_gen import generate_new_ann
+    paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16, base_len=4)   # PLEN=12 → 3 chunks
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    qfn = make_encode_fn(model, RobertaDot.query_emb)
+    bfn = make_encode_fn(model, RobertaDot.body_emb_multichunk)
+    gen_cfg = AnnGenConfig(topk_training=48, negative_sample=4,
+                           ann_chunk_factor=1, dev_search_depth=48,
+                           encode_batch_size=32, multichunk=True)
+    with TokenCache(paths["dev-query"]) as dev_c, \
+            TokenCache(paths["passages"]) as pass_c, \
+            TokenCache(paths["train-query"]) as train_c:
+        result = generate_new_ann(
+            gen_cfg, output_num=0, checkpoint_path="init", params=params,
+            query_encode_fn=qfn, body_encode_fn=bfn,
+            dev_query_cache=dev_c, passage_cache=pass_c,
+            train_query_cache=train_c,
+            training_query_positive_id=positives_from_qrels(train_qrels),
+            dev_query_positive_id=dev_qrels,
+            output_dir=str(tmp_path / "ann"))
+    # 64 passages × 3 chunks = 192 embedding rows, ids repeat per chunk
+    e2id = result["passage_embedding2id"]
+    assert len(e2id) == 192
+    np.testing.assert_array_equal(e2id[:6], [0, 0, 0, 1, 1, 1])
+    for line in open(result["data_path"]).read().splitlines():
+        qid, pos, negs = parse_triple_line(line)
+        assert pos not in negs
+        assert len(negs) == len(set(negs))  # pid-level dedup held

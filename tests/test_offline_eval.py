@@ -70,3 +70,27 @@ def test_step_timer():
     for _ in range(6):
         t.tick()
     assert t.steps_per_sec() > 0
+
+
+def test_eval_full_cli_roundtrip(tmp_path, capsys):
+    """Dump shards → eval-full subcommand → metrics JSON (notebook flow)."""
+    from ance_tpu.evaluation.offline import save_embedding_shard
+    psg = np.eye(8, dtype=np.float32)
+    q = psg[[3, 5]].copy()
+    save_embedding_shard(str(tmp_path / "q"), q)
+    save_embedding_shard(str(tmp_path / "qid"), np.array([0, 1]))
+    save_embedding_shard(str(tmp_path / "p"), psg[:4], rank=0)
+    save_embedding_shard(str(tmp_path / "p"), psg[4:], rank=1)
+    save_embedding_shard(str(tmp_path / "pid"), np.arange(4), rank=0)
+    save_embedding_shard(str(tmp_path / "pid"), np.arange(4, 8), rank=1)
+    (tmp_path / "qrel.tsv").write_text("0\t3\t1\n1\t5\t1\n")
+
+    from ance_tpu.cli import main
+    main(["eval-full",
+          "--query_prefix", str(tmp_path / "q"),
+          "--query_id_prefix", str(tmp_path / "qid"),
+          "--passage_prefix", str(tmp_path / "p"),
+          "--passage_id_prefix", str(tmp_path / "pid"),
+          "--qrels", str(tmp_path / "qrel.tsv"), "--topn", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mrr_10"] == 1.0 and out["recall"] == 1.0
