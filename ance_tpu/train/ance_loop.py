@@ -208,5 +208,25 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
         state, _ = train_step(state, next(it), sub)
         step_count = int(jax.device_get(state.step))
         if step_count % save_every == 0 or step_count >= max_steps:
-            ckpt.save_checkpoint(training_dir, step_count, params_of(state))
+            # optimizer state saved alongside params (reference optimizer.pt,
+            # run_ann.py:307-334) so restarts continue LAMB moments
+            ckpt.save_checkpoint(training_dir, step_count, params_of(state),
+                                 opt_state=state.opt_state)
     return state
+
+
+def resume_train_state(training_dir: str, state):
+    """Restore the newest complete checkpoint into ``state`` (params + opt
+    state when present — the reference's --load_optimizer_scheduler path,
+    run_ann.py:96-105). Returns (state, resumed_step)."""
+    from ance_tpu.train.trainer import TrainState
+    import jax.numpy as jnp
+
+    path, step = ckpt.get_latest_checkpoint(training_dir)
+    if path is None or not ckpt.is_complete(path):
+        return state, 0
+    params, opt_state, _ = ckpt.load_checkpoint(path, state.params,
+                                                state.opt_state)
+    return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                      opt_state=opt_state if opt_state is not None
+                      else state.opt_state), step

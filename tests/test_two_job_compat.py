@@ -98,3 +98,40 @@ def test_two_job_handoff(tmp_path):
     data_no, _, meta = get_latest_ann_data(ann_dir)
     assert data_no == 1
     assert meta["checkpoint"].endswith("checkpoint-6")
+
+
+def test_resume_train_state_restores_optimizer(tmp_path):
+    from ance_tpu.train.ance_loop import resume_train_state
+    from ance_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step, triplet_loss_fn)
+    from ance_tpu.optim.schedules import warmup_linear
+    from ance_tpu.models.dot_models import RobertaDot
+    from ance_tpu.models.transformer import EncoderConfig
+
+    cfg = EncoderConfig(vocab_size=50, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=16, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=8)
+    ids = jnp.ones((2, 6), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, ids)["params"]
+    opt = make_optimizer("lamb", warmup_linear(1e-3, 2, 100))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model), opt)
+    batch = {k: np.ones((4, 6), np.int32) for k in
+             ("query_ids", "query_mask", "pos_ids", "pos_mask",
+              "neg_ids", "neg_mask")}
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    ckpt.save_checkpoint(str(tmp_path / "t"), 1, state.params,
+                         opt_state=state.opt_state)
+
+    fresh = init_train_state(params, opt)
+    resumed, step_no = resume_train_state(str(tmp_path / "t"), fresh)
+    assert step_no == 1 and int(resumed.step) == 1
+    # LAMB first moments restored (nonzero after one step)
+    mu_leaves = jax.tree.leaves(resumed.opt_state)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in mu_leaves
+               if hasattr(l, "shape") and np.asarray(l).size > 1)
+    # no checkpoint → unchanged
+    same, step0 = resume_train_state(str(tmp_path / "none"), fresh)
+    assert step0 == 0
