@@ -84,3 +84,50 @@ def test_pipelined_learns_like_cyclic_loop(tmp_path):
     assert last["dev_ndcg"] > first["dev_ndcg"] + 0.08, loop.history
     # triple files are never empty and negatives exclude positives implicitly
     assert all(h["num_triples"] > 0 for h in loop.history)
+
+
+def test_pipelined_on_mesh(tmp_path):
+    """Full pipelined loop with every stage sharded over an 8-device mesh:
+    DP train step, data-sharded encode, shard_map index search."""
+    from ance_tpu.core.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    opt = make_optimizer("lamb", warmup_linear(5e-3, 10, 20000))
+    state = init_train_state(params, opt)
+    base_step = make_train_step(triplet_loss_fn(model), opt, mesh=mesh)
+
+    def sharded_step(state, batch, rng):
+        return base_step(state, shard_batch(batch, mesh), rng)
+
+    caches = {n: TokenCache(paths[n]).open()
+              for n in ("passages", "train-query", "dev-query")}
+    cfg_p = PipelineConfig(train_steps_per_slice=8, encode_slice_size=32,
+                           encode_batch_size=16, batch_size=16,
+                           topk_training=32, negative_sample=8,
+                           ann_chunk_factor=1, dev_search_depth=32)
+    with mesh:
+        loop = PipelinedAnce(
+            cfg_p, state=state, train_step=sharded_step,
+            rng=jax.random.PRNGKey(3), params_of=lambda s: s.params,
+            query_encode_fn=make_encode_fn(model, RobertaDot.query_emb,
+                                           mesh=mesh),
+            body_encode_fn=make_encode_fn(model, RobertaDot.body_emb,
+                                          mesh=mesh),
+            passage_cache=caches["passages"],
+            train_query_cache=caches["train-query"],
+            dev_query_cache=caches["dev-query"],
+            train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh)
+        loop.run(32)
+    assert loop.index.mesh is mesh          # sharded index in use
+    assert loop.refresh_no >= 2
+    assert int(loop.state.step) == 32
+    assert all(np.isfinite(h["dev_ndcg"]) for h in loop.history)
