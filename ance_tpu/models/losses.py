@@ -61,6 +61,34 @@ def nll_multichunk_loss(q_embs: jax.Array,
     return jnp.mean(-lsm[:, 0])
 
 
+def masked_lm_loss(logits: jax.Array, targets: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+    """Mean CE over positions where ``mask``==1 (MLM / decoder LM).
+
+    Used by SEED pretraining (reference modeling_seed_encoder.py:147-183:
+    MLM head over masked positions + decoder LM over all targets; the
+    train_ratio config weights the two terms)."""
+    logits = logits.astype(jnp.float32)
+    lsm = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(lsm, targets[..., None], axis=-1)[..., 0]
+    m = mask.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def seed_pretrain_loss(mlm_logits: jax.Array, mlm_targets: jax.Array,
+                       mlm_mask: jax.Array,
+                       dec_logits: jax.Array, dec_targets: jax.Array,
+                       dec_mask: jax.Array,
+                       train_ratio: tuple[float, float] = (0.5, 0.5)
+                       ) -> tuple[jax.Array, dict]:
+    """Weighted MLM + CLS-bottleneck-decoder LM loss (SEED pretraining;
+    ``train_ratio`` parity with configuration_seed_encoder.py:92 '0.5:0.5')."""
+    mlm = masked_lm_loss(mlm_logits, mlm_targets, mlm_mask)
+    dec = masked_lm_loss(dec_logits, dec_targets, dec_mask)
+    total = train_ratio[0] * mlm + train_ratio[1] * dec
+    return total, {"mlm_loss": mlm, "decoder_loss": dec}
+
+
 def dpr_inbatch_loss(q_embs: jax.Array, ctx_embs: jax.Array,
                      positive_idx: jax.Array) -> tuple[jax.Array, jax.Array]:
     """In-batch softmax NLL over a q×ctx score matrix.

@@ -124,3 +124,29 @@ def test_registry_covers_reference_model_zoo():
     ids = jnp.ones((1, 8), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, ids)["params"]
     assert "encoder" in params
+
+
+def test_seed_pretrain_loss():
+    from ance_tpu.models.losses import masked_lm_loss, seed_pretrain_loss
+    rs = np.random.RandomState(0)
+    B, S, V = 2, 6, 20
+    logits = jnp.asarray(rs.randn(B, S, V).astype(np.float32))
+    targets = jnp.asarray(rs.randint(0, V, (B, S)))
+    mask = jnp.asarray(rs.randint(0, 2, (B, S)))
+    got = float(masked_lm_loss(logits, targets, mask))
+    # reference CE: mean over masked positions
+    lsm = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    m = np.asarray(mask).astype(bool)
+    ref = float(np.mean([-lsm[b, s, int(targets[b, s])]
+                         for b in range(B) for s in range(S) if m[b, s]]))
+    assert abs(got - ref) < 1e-5
+
+    total, parts = seed_pretrain_loss(logits, targets, mask,
+                                      logits, targets, jnp.ones((B, S)),
+                                      train_ratio=(0.3, 0.7))
+    expect = 0.3 * float(parts["mlm_loss"]) + 0.7 * float(parts["decoder_loss"])
+    assert abs(float(total) - expect) < 1e-6
+
+    # fully-unmasked edge: no NaN
+    z = masked_lm_loss(logits, targets, jnp.zeros((B, S)))
+    assert float(z) == 0.0
