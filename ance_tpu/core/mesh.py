@@ -21,6 +21,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> tuple[int, int]:
+    """Multi-host bring-up (replaces the reference's per-GPU
+    torch.distributed.launch + init_process_group, run_ann.py:603-646).
+
+    On TPU pods jax.distributed discovers the topology automatically; args
+    are only needed off-TPU. Returns (process_index, process_count). Safe to
+    call in single-process runs (no-op)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif jax.process_count() > 1:
+        pass  # already initialized by the TPU runtime
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""

@@ -247,3 +247,16 @@ def test_generate_new_ann_multichunk(tmp_path):
         qid, pos, negs = parse_triple_line(line)
         assert pos not in negs
         assert len(negs) == len(set(negs))  # pid-level dedup held
+
+
+def test_incomplete_ann_data_is_invisible(tmp_path):
+    """A training-data file WITHOUT its ndcg sidecar must not be discovered —
+    the sidecar is the completeness signal (reference util.py:229-243,
+    SURVEY.md §5.2 race-by-construction)."""
+    out = str(tmp_path)
+    with open(os.path.join(out, "ann_training_data_0"), "w") as f:
+        f.write("1\t2\t3\n")
+    assert get_latest_ann_data(out)[0] == -1
+    with open(os.path.join(out, "ann_ndcg_0"), "w") as f:
+        json.dump({"ndcg": 0.1, "checkpoint": "c"}, f)
+    assert get_latest_ann_data(out)[0] == 0
