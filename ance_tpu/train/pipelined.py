@@ -91,6 +91,7 @@ class PipelinedAnce:
         self._batches = None
         self.history: list[dict] = []
         self.schedule_trace: list[str] = []  # 'T' train step / 'E' slice
+        self._losses_since_refresh: list[float] = []
 
     def _snapshot_params(self):
         """Deep-copy the live params: the jitted train step donates its
@@ -170,6 +171,10 @@ class PipelinedAnce:
         entry = {"refresh": self.refresh_no, "dev_ndcg": dev_ndcg,
                  "ann_mrr": ann_mrr, "num_triples": len(triples),
                  "step": int(jax.device_get(self.state.step))}
+        if self._losses_since_refresh:
+            entry["mean_loss"] = float(np.mean(
+                jax.device_get(self._losses_since_refresh)))
+            self._losses_since_refresh = []
         logger.info("pipelined refresh %s", entry)
         self.history.append(entry)
         self.refresh_no += 1
@@ -193,6 +198,9 @@ class PipelinedAnce:
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.train_step(self.state,
                                                   next(self._batches), sub)
+            # keep the device array — converting per step would force a sync
+            # and break dispatch pipelining; resolved at refresh time
+            self._losses_since_refresh.append(metrics["loss"])
             self.schedule_trace.append("T")
             if (i + 1) % self.cfg.train_steps_per_slice == 0:
                 if self._encode_slice():
