@@ -179,7 +179,8 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     poll_every: int = 100,
                     save_every: int = 500,
                     poll_interval: float = 5.0,
-                    triples_fn: Callable = expand_triples) -> object:
+                    triples_fn: Callable = expand_triples,
+                    metrics_logger=None) -> object:
     """Train forever, polling ``ann_dir`` for fresh data every ``poll_every``
     steps and checkpointing every ``save_every``
     (reference run_ann.py:180-334).
@@ -201,12 +202,21 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                 it = infinite_batches(feed)
                 last_data_no = data_no
                 logger.info("trainer: switched to ann data %s", data_no)
+                if metrics_logger is not None:
+                    ndcg_json = get_latest_ann_data(ann_dir)[2] or {}
+                    # dev metric plotted on data switch (reference TB scalars,
+                    # run_ann.py:220-227)
+                    metrics_logger.log(step_count, ann_data_no=data_no,
+                                       **{k: v for k, v in ndcg_json.items()
+                                          if isinstance(v, (int, float))})
             elif it is None:
                 time.sleep(poll_interval)
                 continue
         rng, sub = jax.random.split(rng)
-        state, _ = train_step(state, next(it), sub)
+        state, metrics = train_step(state, next(it), sub)
         step_count = int(jax.device_get(state.step))
+        if metrics_logger is not None and step_count % poll_every == 0:
+            metrics_logger.log(step_count, loss=float(metrics["loss"]))
         if step_count % save_every == 0 or step_count >= max_steps:
             # optimizer state saved alongside params (reference optimizer.pt,
             # run_ann.py:307-334) so restarts continue LAMB moments

@@ -94,7 +94,7 @@ def main():
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     log({"event": "model", "params_m": round(float(n_params) / 1e6, 1)})
 
-    opt = make_optimizer("lamb", warmup_linear(2e-4, 100, 100000))
+    opt = make_optimizer("lamb", warmup_linear(1e-3, 200, 100000))
     state = init_train_state(params, opt)
     step = make_train_step(triplet_loss_fn(model), opt)
     qfn = make_encode_fn(model, RobertaDot.query_emb)
@@ -119,7 +119,7 @@ def main():
          **{k: round(v, 4) if isinstance(v, float) else v
             for k, v in loop.history[-1].items()}})
 
-    TOTAL = 416  # 13 slices/refresh × 8 steps → 4 full refreshes
+    TOTAL = 1560  # 13 slices/refresh × 8 steps → 15 full refreshes
     done = 0
     while done < TOTAL:
         t0 = time.time()
