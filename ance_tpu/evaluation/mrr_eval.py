@@ -116,6 +116,41 @@ def combined_eval(query_embs: np.ndarray, query_ids: np.ndarray,
     return reranking_mrr, full_ranking_mrr
 
 
+def embed_text_file(encode_fn, params, tokenizer, path: str, max_len: int,
+                    batch_size: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Embed an ``id\\ttext`` TSV via on-the-fly tokenization
+    (reference eval_mrr.py:16-46 embedding_inference over dual_process_fn)."""
+    import jax.numpy as jnp
+    from ance_tpu.data.process_fn import dual_batches
+
+    embs, ids = [], []
+    with open(path, encoding="utf-8") as f:
+        for batch in dual_batches(tokenizer, f, batch_size, max_len):
+            out = encode_fn(params, jnp.asarray(batch["ids"]),
+                            jnp.asarray(batch["mask"]))
+            embs.append(np.asarray(out, np.float32))
+            ids.append(batch["rec_ids"])
+    return np.concatenate(embs), np.concatenate(ids)
+
+
+def passage_dist_eval(*, query_encode_fn, body_encode_fn, params, tokenizer,
+                      queries_path: str, collection_path: str,
+                      top1000_path: str, qrels_path: str,
+                      max_query_length: int = 64, max_seq_length: int = 128,
+                      batch_size: int = 64) -> tuple[float, float]:
+    """In-train dev MRR: (reranking_mrr, full_ranking_mrr)
+    (reference utils/eval_mrr.py:108-124)."""
+    q_embs, q_ids = embed_text_file(query_encode_fn, params, tokenizer,
+                                    queries_path, max_query_length,
+                                    batch_size)
+    p_embs, p_ids = embed_text_file(body_encode_fn, params, tokenizer,
+                                    collection_path, max_seq_length,
+                                    batch_size)
+    top1k = parse_top_dev(top1000_path, qid_col=0, pid_col=1)
+    ref = load_msmarco_reference(qrels_path)
+    return combined_eval(q_embs, q_ids, p_embs, p_ids, top1k, ref)
+
+
 def load_msmarco_reference(path: str) -> dict[int, list[int]]:
     """qrels.dev.small.tsv → qid → [pids]
     (reference msmarco_eval.py:19-45)."""

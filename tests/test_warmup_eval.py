@@ -143,3 +143,45 @@ def test_run_warmup_trains_and_checkpoints(tmp_path):
         triples_path=str(triples), rng=jax.random.PRNGKey(2), start_step=3)
     assert len(history2) == 1  # only the 4th batch of the epoch runs
     assert history2[0]["step"] == 4
+
+
+def test_passage_dist_eval_end_to_end(tmp_path):
+    """Raw-text in-train eval pipeline (reference passage_dist_eval flow)."""
+    from ance_tpu.evaluation.mrr_eval import passage_dist_eval
+    from ance_tpu.train.encode import make_encode_fn
+
+    tok = FakeTokenizer()
+    # collection: 8 passages; queries reuse passage text → perfect full mrr
+    texts = [f"unique words p{i} alpha{i} beta{i}" for i in range(8)]
+    (tmp_path / "collection.tsv").write_text(
+        "\n".join(f"{i}\t{t}" for i, t in enumerate(texts)) + "\n")
+    (tmp_path / "queries.dev.small.tsv").write_text(
+        f"100\t{texts[3]}\n101\t{texts[5]}\n")
+    (tmp_path / "qrels.dev.small.tsv").write_text(
+        "100\t0\t3\t1\n101\t0\t5\t1\n")
+    # rerank candidates: qid 100 includes its positive, 101 does not
+    (tmp_path / "top1000.dev").write_text(
+        "100\t3\tq\tp\n100\t1\tq\tp\n101\t0\tq\tp\n101\t2\tq\tp\n")
+
+    cfg = EncoderConfig(vocab_size=80, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=24, pad_token_id=0,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16)
+    L = 12
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    qfn = make_encode_fn(model, RobertaDot.query_emb)
+    bfn = make_encode_fn(model, RobertaDot.body_emb)
+    rerank, full = passage_dist_eval(
+        query_encode_fn=qfn, body_encode_fn=bfn, params=params,
+        tokenizer=tok, queries_path=str(tmp_path / "queries.dev.small.tsv"),
+        collection_path=str(tmp_path / "collection.tsv"),
+        top1000_path=str(tmp_path / "top1000.dev"),
+        qrels_path=str(tmp_path / "qrels.dev.small.tsv"),
+        max_query_length=L, max_seq_length=L, batch_size=4)
+    # identical query/passage text → full ranking finds positives at rank 1
+    assert full == pytest.approx(1.0)
+    # rerank: only qid 100's candidates contain its positive
+    assert rerank == pytest.approx(0.5)
