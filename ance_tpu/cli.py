@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 logger = logging.getLogger("ance_tpu")
@@ -111,7 +112,6 @@ def _make_training(args, model, spec):
     if args.model_name_or_path:
         from ance_tpu.models.hf_loader import (
             graft, load_torch_state_dict, robertadot_params_from_torch)
-        import os
         if os.path.isdir(args.model_name_or_path) and any(
                 f.endswith(".bin") for f in os.listdir(args.model_name_or_path)):
             sd = load_torch_state_dict(args.model_name_or_path)
@@ -282,6 +282,71 @@ def cmd_generate(args, inference_only=False):
                           "data_path": result["data_path"]}))
 
 
+def cmd_generate_dpr(args):
+    import jax
+    import jax.numpy as jnp
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.data.dpr import (
+        load_answers, load_mapping, load_passage_texts, load_positive_ids)
+    from ance_tpu.train import checkpoint as ckpt
+    from ance_tpu.train.dpr_gen import generate_new_ann_dpr
+    from ance_tpu.train.encode import make_encode_fn
+
+    spec, model = _build_model(args)
+    L = args.max_seq_length
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    ckpt_path, _ = ckpt.get_latest_checkpoint(args.training_dir,
+                                              args.init_model_dir)
+    if ckpt_path and ckpt.is_complete(ckpt_path):
+        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+
+    pid2offset, _ = load_mapping(args.data_dir, "pid2offset")
+    raw = load_passage_texts(args.wiki_path)
+    passage_texts = {pid2offset[p]: t for p, t in raw.items()
+                     if p in pid2offset}
+    train_answers = load_answers(args.data_dir + "/train-ann")
+    positives = load_positive_ids(args.data_dir + "/train-data")
+    test_answers = load_answers(args.data_dir + "/test-ann") \
+        if os.path.exists(args.data_dir + "/test-ann") else \
+        _qas_answers(args.test_qas)
+    trivia_answers = _qas_answers(args.trivia_qas)
+
+    qfn = make_encode_fn(model, type(model).query_emb)
+    bfn = make_encode_fn(model, type(model).body_emb)
+    with TokenCache(args.data_dir + "/train-query") as tq, \
+            TokenCache(args.data_dir + "/test-query") as te, \
+            TokenCache(args.data_dir + "/trivia-test-query") as tr, \
+            TokenCache(args.data_dir + "/passages") as pc:
+        result = generate_new_ann_dpr(
+            output_num=args.output_num, checkpoint_path=ckpt_path or "<init>",
+            params=params, query_encode_fn=qfn, body_encode_fn=bfn,
+            train_query_cache=tq, test_query_cache=te,
+            trivia_test_query_cache=tr, passage_cache=pc,
+            passage_texts=passage_texts, train_answers=train_answers,
+            test_answers=test_answers, trivia_test_answers=trivia_answers,
+            training_query_positive_id=positives,
+            output_dir=args.output_dir, topk_training=args.topk_training,
+            negative_sample=args.negative_sample,
+            encode_batch_size=args.per_device_eval_batch_size)
+    result.pop("index", None)
+    print(json.dumps(result))
+
+
+def _qas_answers(path):
+    """qas CSV (question\\tanswers-repr) → qid(order) → answers."""
+    import ast
+    import csv
+    out = {}
+    if not path or not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as f:
+        for qid, row in enumerate(csv.reader(f, delimiter="\t")):
+            out[qid] = list(ast.literal_eval(row[1]))
+    return out
+
+
 def cmd_eval(args):
     from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
     metrics = compute_metrics_from_files(args.reference, args.candidate)
@@ -376,6 +441,22 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--ann_measure_topk_mrr", action="store_true")
         p.add_argument("--per_device_eval_batch_size", type=int, default=128)
         p.set_defaults(fn=lambda a, inf=inference: cmd_generate(a, inf))
+
+    p = sub.add_parser("generate-dpr",
+                       help="DPR ANN generation (answer-filtered mining)")
+    _add_common_model_flags(p)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--wiki_path", required=True, help="psgs_w100.tsv")
+    p.add_argument("--test_qas", default=None)
+    p.add_argument("--trivia_qas", default=None)
+    p.add_argument("--training_dir", required=True)
+    p.add_argument("--init_model_dir", default=None)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--output_num", type=int, default=0)
+    p.add_argument("--topk_training", type=int, default=100)
+    p.add_argument("--negative_sample", type=int, default=20)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.set_defaults(fn=cmd_generate_dpr)
 
     p = sub.add_parser("eval", help="official MS MARCO MRR scorer")
     p.add_argument("reference")
