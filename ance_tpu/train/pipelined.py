@@ -137,8 +137,14 @@ class PipelinedAnce:
                                         cfg.encode_batch_size)
         k_dev = min(cfg.dev_search_depth, self.index.ntotal)
         _, dev_nb = self.index.search(dev_emb, k_dev)
-        dev_ndcg, _ = eval_dev_ndcg(np.asarray(dev_nb), dev_ids, passage_ids,
+        dev_nb = np.asarray(dev_nb)
+        dev_ndcg, _ = eval_dev_ndcg(dev_nb, dev_ids, passage_ids,
                                     self.dev_qrels)
+        # recall@search-depth: earlier-moving signal than NDCG@10
+        from ance_tpu.evaluation.metrics import dedup_ranking, recall_at_k
+        dev_recall = recall_at_k(
+            self.dev_qrels,
+            dedup_ranking(dev_nb, dev_ids, passage_ids), k=k_dev)
 
         n_q = len(self.train_query_cache)
         q_start, q_end = query_chunk_range(n_q, cfg.ann_chunk_factor,
@@ -169,6 +175,7 @@ class PipelinedAnce:
             self._batches = infinite_batches(feed)
 
         entry = {"refresh": self.refresh_no, "dev_ndcg": dev_ndcg,
+                 "dev_recall": dev_recall,
                  "ann_mrr": ann_mrr, "num_triples": len(triples),
                  "step": int(jax.device_get(self.state.step))}
         if self._losses_since_refresh:
