@@ -154,16 +154,38 @@ def cmd_warmup(args):
     state, step, _ = _make_training(args, model, spec)
     tokenizer = _tokenizer_factory(spec.tokenizer_name,
                                    args.model_name_or_path)()
+
+    eval_fn = None
+    if args.evaluate_during_training:
+        from ance_tpu.evaluation.mrr_eval import passage_dist_eval
+        from ance_tpu.train.encode import make_encode_fn
+        qfn = make_encode_fn(model, type(model).query_emb)
+        bfn = make_encode_fn(model, type(model).body_emb)
+        d = args.data_dir
+
+        def eval_fn(params):
+            return passage_dist_eval(
+                query_encode_fn=qfn, body_encode_fn=bfn, params=params,
+                tokenizer=tokenizer,
+                queries_path=os.path.join(d, "queries.dev.small.tsv"),
+                collection_path=os.path.join(d, "collection.tsv"),
+                top1000_path=os.path.join(d, "top1000.dev"),
+                qrels_path=os.path.join(d, "qrels.dev.small.tsv"),
+                max_query_length=args.max_query_length,
+                max_seq_length=args.max_seq_length)
+
     cfg = WarmupConfig(num_epochs=args.num_train_epochs,
                        batch_size=args.per_device_train_batch_size,
                        max_seq_length=args.max_seq_length,
                        max_steps=args.max_steps,
                        save_steps=args.save_steps,
+                       eval_every=args.eval_steps,
                        checkpoint_dir=args.output_dir)
     state, history = run_warmup(cfg, state=state, train_step=step,
                                 tokenizer=tokenizer,
                                 triples_path=args.train_file,
-                                rng=jax.random.PRNGKey(args.seed))
+                                rng=jax.random.PRNGKey(args.seed),
+                                eval_fn=eval_fn)
     print(json.dumps(history[-3:]))
 
 
@@ -402,6 +424,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--save_steps", type=int, default=5000)
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--evaluate_during_training", action="store_true")
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="steps between in-train MRR evals")
+    p.add_argument("--data_dir", default=None,
+                   help="dir with collection.tsv/queries.dev.small.tsv/"
+                        "top1000.dev/qrels.dev.small.tsv for eval")
     p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("train", help="ANCE trainer (polls ann_dir)")

@@ -33,7 +33,7 @@ from ance_tpu.train.trainer import (
 
 VOCAB = 30522
 QLEN, PLEN = 32, 128
-N_CLASSES = 4096
+N_CLASSES = 1024
 N_PASSAGES = 100_000
 N_TRAIN_Q, N_DEV_Q = 8192, 512
 SHIFT = 15000
@@ -94,7 +94,7 @@ def main():
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     log({"event": "model", "params_m": round(float(n_params) / 1e6, 1)})
 
-    opt = make_optimizer("lamb", warmup_linear(1e-3, 200, 100000))
+    opt = make_optimizer("lamb", warmup_linear(2e-4, 100, 100000))
     state = init_train_state(params, opt)
     step = make_train_step(triplet_loss_fn(model), opt)
     qfn = make_encode_fn(model, RobertaDot.query_emb)
@@ -103,7 +103,7 @@ def main():
     pcfg = PipelineConfig(train_steps_per_slice=8, encode_slice_size=8192,
                           encode_batch_size=256, batch_size=128,
                           topk_training=100, negative_sample=8,
-                          ann_chunk_factor=4, dev_search_depth=100)
+                          ann_chunk_factor=2, dev_search_depth=100)
     caches = {n: TokenCache(paths[n]).open() for n in paths}
     loop = PipelinedAnce(
         pcfg, state=state, train_step=step, rng=jax.random.PRNGKey(1),
