@@ -42,6 +42,11 @@ class EncoderConfig:
     embed_zero_pad: bool = False      # SEED: zero embeddings at pad positions
                                       # (reference transformer_sentence_encoder
                                       # .py:898-900 ``x *= 1 - padding_mask``)
+    remat: bool = False               # rematerialize each layer's activations
+                                      # in backward (trade FLOPs for HBM; lets
+                                      # batch sizes scale past activation
+                                      # memory — the TPU counterpart of the
+                                      # memory tricks apex provides on GPU)
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -170,8 +175,10 @@ class TransformerEncoder(nn.Module):
             attention_mask = jnp.ones_like(input_ids)
         x = Embeddings(cfg, name="embeddings")(
             input_ids, token_type_ids, deterministic=deterministic)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if cfg.remat \
+            else EncoderLayer
         for i in range(cfg.num_layers):
-            x = EncoderLayer(cfg, name=f"layer_{i}")(
+            x = layer_cls(cfg, name=f"layer_{i}")(
                 x, attention_mask, deterministic)
         return x
 

@@ -220,3 +220,33 @@ def test_biencoder_towers_independent():
                                   jnp.asarray(mask))
     assert qe.shape == be.shape == (3, 32)
     assert not np.allclose(np.asarray(qe), np.asarray(be))
+
+
+def test_remat_encoder_matches_and_trains():
+    """remat=True must be numerically identical in fwd and produce matching
+    gradients (activation recompute, not a different model)."""
+    import dataclasses
+    from ance_tpu.models.transformer import EncoderConfig, TransformerEncoder
+    cfg = EncoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=24, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(4, 64, (2, 10)).astype(np.int32))
+    mask = jnp.ones((2, 10), jnp.int32)
+    enc, enc_r = TransformerEncoder(cfg), TransformerEncoder(cfg_r)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), ids, mask)["params"]
+    out = jax.jit(enc.apply)({"params": params}, ids, mask)
+    out_r = jax.jit(enc_r.apply)({"params": params}, ids, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, module):
+        return jnp.sum(module.apply({"params": p}, ids, mask) ** 2)
+
+    g = jax.jit(jax.grad(lambda p: loss(p, enc)))(params)
+    g_r = jax.jit(jax.grad(lambda p: loss(p, enc_r)))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
