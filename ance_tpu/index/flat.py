@@ -42,12 +42,14 @@ def _pad_rows(x: np.ndarray | jax.Array, multiple: int):
 @functools.partial(jax.jit, static_argnames=("k", "chunk_rows"))
 def topk_inner_product(queries: jax.Array, corpus: jax.Array, *, k: int,
                        chunk_rows: int = 16384,
-                       valid_rows: Optional[jax.Array] = None):
+                       valid_rows: Optional[jax.Array] = None,
+                       row_scales: Optional[jax.Array] = None):
     """Exact top-k by inner product. Returns (scores [Q,k], ids [Q,k] int32).
 
     ``corpus`` rows beyond ``valid_rows`` (used for padding) score −inf.
     Streaming scan over corpus chunks keeps peak memory at
-    Q·(chunk_rows + 2k) floats.
+    Q·(chunk_rows + 2k) floats. With ``row_scales`` [N] the corpus holds
+    per-row-quantized values (e.g. int8) and scores multiply by the scale.
     """
     Q = queries.shape[0]
     N = corpus.shape[0]
@@ -56,21 +58,28 @@ def topk_inner_product(queries: jax.Array, corpus: jax.Array, *, k: int,
     chunk_rows = min(chunk_rows, N)
     n_chunks = -(-N // chunk_rows)
     padded_n = n_chunks * chunk_rows
-    corpus_p = jnp.pad(corpus, ((0, padded_n - N), (0, 0))) \
-        if padded_n != N else corpus
+    pad = padded_n - N
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
     chunks = corpus_p.reshape(n_chunks, chunk_rows, corpus.shape[1])
+    if row_scales is not None:
+        scales_p = jnp.pad(row_scales, (0, pad)) if pad else row_scales
+        scale_chunks = scales_p.reshape(n_chunks, chunk_rows)
+    else:
+        scale_chunks = jnp.zeros((n_chunks, 0), jnp.float32)  # unused
 
     qf = queries.astype(jnp.float32)
 
     def body(carry, chunk_data):
         best_s, best_i = carry
-        chunk, chunk_idx = chunk_data
+        chunk, scales, chunk_idx = chunk_data
         base = chunk_idx * chunk_rows
         # [Q, chunk_rows] — the MXU hot op; fp32 accumulation
         s = jax.lax.dot_general(
             qf, chunk.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if row_scales is not None:
+            s = s * scales[None, :]
         ids = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(ids < valid_rows, s, NEG_INF)
         cat_s = jnp.concatenate([best_s, s], axis=1)
@@ -82,8 +91,19 @@ def topk_inner_product(queries: jax.Array, corpus: jax.Array, *, k: int,
     init = (jnp.full((Q, k), NEG_INF, jnp.float32),
             jnp.full((Q, k), -1, jnp.int32))
     (scores, ids), _ = jax.lax.scan(
-        body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32)))
+        body, init,
+        (chunks, scale_chunks, jnp.arange(n_chunks, dtype=jnp.int32)))
     return scores, ids
+
+
+def quantize_rows_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: returns (values int8 [N, D],
+    scales fp32 [N]) with value·scale ≈ original. Halves the HBM footprint
+    of the reference's fp32 FAISS index (beyond-parity capacity option)."""
+    emb = jnp.asarray(emb, jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(emb), axis=1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(emb / scales[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales
 
 
 def merge_topk(scores: jax.Array, ids: jax.Array, k: int):
@@ -104,21 +124,28 @@ class FlatIPIndex:
 
     def __init__(self, dim: int, mesh: Optional[Mesh] = None,
                  axis: str = "data", dtype=jnp.float32,
-                 chunk_rows: int = 16384, method: str = "auto"):
+                 chunk_rows: int = 16384, method: str = "auto",
+                 quantize: bool = False):
         """``method``: 'scan' (streaming lax.scan merge), 'blockmax' (fused
         Pallas matmul+block-max kernel, ~5× faster on TPU — see
-        ops/topk.py), or 'auto' (blockmax on TPU, scan elsewhere)."""
+        ops/topk.py), or 'auto' (blockmax on TPU, scan elsewhere).
+        ``quantize``: per-row int8 storage (half the HBM of fp16/bf16, ~1/4
+        of the reference's fp32 FAISS index; near-exact ranking)."""
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
         self.dtype = dtype
         self.chunk_rows = chunk_rows
         self.method = method
+        self.quantize = quantize
         self._emb: Optional[jax.Array] = None
+        self._scales: Optional[jax.Array] = None
         self._ntotal = 0
         self._search = None
 
     def _use_blockmax(self) -> bool:
+        if self.quantize:
+            return False  # blockmax kernel variant with scales: future work
         if self.method == "blockmax":
             return True
         if self.method == "scan":
@@ -135,13 +162,23 @@ class FlatIPIndex:
     def add(self, embeddings) -> None:
         """(Re)build the index contents. Rows are padded to a multiple of the
         shard count; padded rows never surface (scored −inf)."""
-        emb = jnp.asarray(embeddings, self.dtype)
+        if self.quantize:
+            emb, scales = quantize_rows_int8(jnp.asarray(embeddings))
+        else:
+            emb = jnp.asarray(embeddings, self.dtype)
+            scales = None
         n_shards = self._n_shards()
         emb, self._ntotal = _pad_rows(emb, n_shards)
+        if scales is not None:
+            scales, _ = _pad_rows(scales, n_shards)
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(self.axis, None))
             emb = jax.device_put(emb, sharding)
+            if scales is not None:
+                scales = jax.device_put(
+                    scales, NamedSharding(self.mesh, P(self.axis)))
         self._emb = emb
+        self._scales = scales
         self._search = None
 
     def reset(self) -> None:
@@ -153,14 +190,14 @@ class FlatIPIndex:
         if self._use_blockmax():
             from ance_tpu.ops.topk import topk_blockmax
 
-            def fn(queries, emb, valid):
+            def fn(queries, emb, scales, valid):
                 return topk_blockmax(queries, emb, k=k, valid_rows=valid)
             return fn
 
-        def fn(queries, emb, valid):
+        def fn(queries, emb, scales, valid):
             return topk_inner_product(queries, emb, k=k,
                                       chunk_rows=chunk_rows,
-                                      valid_rows=valid)
+                                      valid_rows=valid, row_scales=scales)
         return fn
 
     def _build_search(self, k: int):
@@ -168,8 +205,9 @@ class FlatIPIndex:
         if self.mesh is None:
             topk = self._topk_fn(k, self._emb.shape[0])
 
-            def search_fn(queries, emb):
-                return topk(queries, emb, jnp.asarray(ntotal, jnp.int32))
+            def search_fn(queries, emb, scales):
+                return topk(queries, emb, scales,
+                            jnp.asarray(ntotal, jnp.int32))
             return jax.jit(search_fn)
 
         mesh, axis = self.mesh, self.axis
@@ -177,22 +215,23 @@ class FlatIPIndex:
         rows_per_shard = self._emb.shape[0] // n_shards
         topk = self._topk_fn(k, rows_per_shard)
 
-        def shard_search(queries, emb_shard):
+        def shard_search(queries, emb_shard, scales_shard):
             shard_id = jax.lax.axis_index(axis)
             base = (shard_id * rows_per_shard).astype(jnp.int32)
             valid = jnp.maximum(
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(ntotal, jnp.int32) - base)
-            s, i = topk(queries, emb_shard, valid)
+            s, i = topk(queries, emb_shard, scales_shard, valid)
             i = jnp.where(i >= 0, i + base, i)
             # gather tiny [Q, k] candidates from every shard, merge locally
             all_s = jax.lax.all_gather(s, axis)           # [S, Q, k]
             all_i = jax.lax.all_gather(i, axis)
             return merge_topk(all_s, all_i, k)
 
+        scales_spec = P(axis) if self._scales is not None else P()
         fn = jax.shard_map(
             shard_search, mesh=mesh,
-            in_specs=(P(), P(axis, None)),
+            in_specs=(P(), P(axis, None), scales_spec),
             out_specs=(P(), P()), check_vma=False)
         return jax.jit(fn)
 
@@ -203,8 +242,9 @@ class FlatIPIndex:
             raise ValueError("index is empty; call add() first")
         if self._search is None or self._search[0] != k:
             self._search = (k, self._build_search(k))
-        queries = jnp.asarray(queries, self.dtype)
-        scores, ids = self._search[1](queries, self._emb)
+        queries = jnp.asarray(queries, jnp.float32 if self.quantize
+                              else self.dtype)
+        scores, ids = self._search[1](queries, self._emb, self._scales)
         return scores, ids
 
 

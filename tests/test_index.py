@@ -96,3 +96,41 @@ def test_index_rebuild_replaces_contents():
     index.add(corpus2)
     _, after = index.search(queries, k=3)
     np.testing.assert_array_equal(np.asarray(after), 99 - np.asarray(before))
+
+
+def test_quantized_index_near_exact():
+    """int8 per-row quantized index: ~4x smaller than fp32 FAISS, ranking
+    near-exact on realistic (LayerNorm'd) embeddings."""
+    rs = np.random.RandomState(9)
+    corpus = rs.randn(2000, 64).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)  # unit-ish rows
+    queries = rs.randn(16, 64).astype(np.float32)
+    exact = FlatIPIndex(dim=64, method="scan")
+    quant = FlatIPIndex(dim=64, method="scan", quantize=True)
+    exact.add(corpus)
+    quant.add(corpus)
+    _, ie = exact.search(queries, k=10)
+    sq, iq = quant.search(queries, k=10)
+    overlap = np.mean([len(set(np.asarray(ie)[i]) & set(np.asarray(iq)[i]))
+                       / 10 for i in range(16)])
+    assert overlap >= 0.9, overlap
+    # top-1 agreement should be near perfect
+    top1 = np.mean(np.asarray(ie)[:, 0] == np.asarray(iq)[:, 0])
+    assert top1 >= 0.9
+    # storage dtype really is int8
+    assert quant._emb.dtype == jnp.int8
+
+
+def test_quantized_index_sharded():
+    rs = np.random.RandomState(10)
+    corpus = rs.randn(640, 32).astype(np.float32)
+    queries = rs.randn(5, 32).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    quant_m = FlatIPIndex(dim=32, mesh=mesh, method="scan", quantize=True)
+    quant_s = FlatIPIndex(dim=32, method="scan", quantize=True)
+    quant_m.add(corpus)
+    quant_s.add(corpus)
+    s1, i1 = quant_m.search(queries, k=7)
+    s2, i2 = quant_s.search(queries, k=7)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
