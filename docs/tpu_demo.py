@@ -100,9 +100,33 @@ def main():
     qfn = make_encode_fn(model, RobertaDot.query_emb)
     bfn = make_encode_fn(model, RobertaDot.body_emb)
 
+    # warmup phase: random-negative triples (the role BM25 warmup plays in
+    # the reference pipeline, README.md:61-87 — ANCE from a random encoder
+    # with shallow mining is a whack-a-mole; warmup puts positives within
+    # mining depth first)
+    from ance_tpu.data.feed import TripletBatches, infinite_batches
+    rs = np.random.RandomState(3)
+    warm_triples = np.stack([
+        np.arange(N_TRAIN_Q),
+        np.arange(N_TRAIN_Q) % N_CLASSES,
+        rs.randint(N_CLASSES, N_PASSAGES, N_TRAIN_Q)], axis=1)
+    feed = TripletBatches(TokenCache(paths["train-query"]).open(),
+                          TokenCache(paths["passages"]).open(),
+                          warm_triples, batch_size=128, seed=5)
+    it = infinite_batches(feed)
+    rng = jax.random.PRNGKey(9)
+    t0 = time.time()
+    WARM = 300
+    for i in range(WARM):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, next(it), sub)
+    log({"event": "warmup_done", "steps": WARM,
+         "final_loss": round(float(m["loss"]), 4),
+         "sec": round(time.time() - t0, 1)})
+
     pcfg = PipelineConfig(train_steps_per_slice=8, encode_slice_size=8192,
                           encode_batch_size=256, batch_size=128,
-                          topk_training=100, negative_sample=8,
+                          topk_training=1000, negative_sample=8,
                           ann_chunk_factor=2, dev_search_depth=100)
     caches = {n: TokenCache(paths[n]).open() for n in paths}
     loop = PipelinedAnce(
