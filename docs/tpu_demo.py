@@ -86,15 +86,21 @@ def main():
     paths, train_qrels, dev_qrels = build_corpus(root)
     log({"event": "corpus_built", "sec": round(time.time() - t_start, 1)})
 
-    cfg = EncoderConfig(vocab_size=VOCAB, dtype=jnp.bfloat16)  # base geometry
-    model = RobertaDot(cfg, out_dim=768)
+    # from-scratch-trainable geometry: the reference never trains from random
+    # init (it always starts from pretrained roberta-base, README.md:61-87);
+    # with no pretrained weights available offline, a 4-layer/256-wide encoder
+    # demonstrates the full-system quality dynamics at 100k-corpus scale
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=256, num_layers=4,
+                        num_heads=8, intermediate_size=1024,
+                        dtype=jnp.bfloat16)
+    model = RobertaDot(cfg, out_dim=256)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((2, QLEN), jnp.int32),
                                  jnp.ones((2, QLEN), jnp.int32))["params"]
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
     log({"event": "model", "params_m": round(float(n_params) / 1e6, 1)})
 
-    opt = make_optimizer("lamb", warmup_linear(2e-4, 100, 100000))
+    opt = make_optimizer("lamb", warmup_linear(1e-3, 100, 100000))
     state = init_train_state(params, opt)
     step = make_train_step(triplet_loss_fn(model), opt)
     qfn = make_encode_fn(model, RobertaDot.query_emb)
@@ -114,14 +120,25 @@ def main():
                           TokenCache(paths["passages"]).open(),
                           warm_triples, batch_size=128, seed=5)
     it = infinite_batches(feed)
+    # in-batch contrastive warmup: each query scores against 2*B-1 other
+    # passages in the batch (the strong-signal regime the reference gets
+    # from a pretrained LM + BM25 warmup; from random init, plain triplets
+    # let a 110M-param model memorize instead of aligning)
+    from ance_tpu.train.dpr_trainer import biencoder_loss_fn, make_dpr_train_step
+    warm_step = make_dpr_train_step(biencoder_loss_fn(model), opt)
     rng = jax.random.PRNGKey(9)
     t0 = time.time()
-    WARM = 300
+    WARM = 500
+    losses = []
     for i in range(WARM):
         rng, sub = jax.random.split(rng)
-        state, m = step(state, next(it), sub)
+        state, m = warm_step(state, next(it), sub)
+        losses.append(m["loss"])
+        if (i + 1) % 100 == 0:
+            log({"event": "warmup", "step": i + 1,
+                 "loss": round(float(np.mean(jax.device_get(losses[-50:]))), 4),
+                 "correct_ratio": round(float(m["correct_ratio"]), 3)})
     log({"event": "warmup_done", "steps": WARM,
-         "final_loss": round(float(m["loss"]), 4),
          "sec": round(time.time() - t0, 1)})
 
     pcfg = PipelineConfig(train_steps_per_slice=8, encode_slice_size=8192,
