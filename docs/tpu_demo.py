@@ -128,7 +128,7 @@ def main():
     warm_step = make_dpr_train_step(biencoder_loss_fn(model), opt)
     rng = jax.random.PRNGKey(9)
     t0 = time.time()
-    WARM = 500
+    WARM = 1000
     losses = []
     for i in range(WARM):
         rng, sub = jax.random.split(rng)
@@ -147,7 +147,7 @@ def main():
                           ann_chunk_factor=2, dev_search_depth=100)
     caches = {n: TokenCache(paths[n]).open() for n in paths}
     loop = PipelinedAnce(
-        pcfg, state=state, train_step=step, rng=jax.random.PRNGKey(1),
+        pcfg, state=state, train_step=warm_step, rng=jax.random.PRNGKey(1),
         params_of=lambda s: s.params, query_encode_fn=qfn,
         body_encode_fn=bfn, passage_cache=caches["passages"],
         train_query_cache=caches["train-query"],
