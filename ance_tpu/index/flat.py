@@ -106,6 +106,19 @@ def quantize_rows_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scales
 
 
+def quantize_dims_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-DIMENSION symmetric int8 quantization: (values int8 [N, D],
+    dim_scales fp32 [D]). Because scores are linear in each dimension, the
+    scales fold into the QUERY (q'_d = q_d·scale_d) — so every downstream
+    search path, including the fused blockmax kernel, works unchanged on the
+    int8 corpus. LayerNorm'd embeddings have near-uniform per-dim ranges, so
+    accuracy is close to per-row quantization."""
+    emb = jnp.asarray(emb, jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(emb), axis=0), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(emb / scales[None, :]), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
 def merge_topk(scores: jax.Array, ids: jax.Array, k: int):
     """Merge candidate sets: [..., S, Q, k] → final [Q, k] (top-k of union)."""
     s = jnp.moveaxis(scores, -3, -2).reshape(scores.shape[-2], -1)
@@ -129,23 +142,28 @@ class FlatIPIndex:
         """``method``: 'scan' (streaming lax.scan merge), 'blockmax' (fused
         Pallas matmul+block-max kernel, ~5× faster on TPU — see
         ops/topk.py), or 'auto' (blockmax on TPU, scan elsewhere).
-        ``quantize``: per-row int8 storage (half the HBM of fp16/bf16, ~1/4
-        of the reference's fp32 FAISS index; near-exact ranking)."""
+        ``quantize``: int8 storage (half the HBM of bf16, ~1/4 of the
+        reference's fp32 FAISS index; near-exact ranking). "rows"/True =
+        per-row scales (scan path only); "dims" = per-dimension scales, which
+        fold into the query so the fused blockmax kernel applies unchanged."""
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
         self.dtype = dtype
         self.chunk_rows = chunk_rows
         self.method = method
-        self.quantize = quantize
+        self.quantize = "rows" if quantize is True else (quantize or None)
+        if self.quantize not in (None, "rows", "dims"):
+            raise ValueError(f"quantize must be False/'rows'/'dims', got "
+                             f"{quantize!r}")
         self._emb: Optional[jax.Array] = None
         self._scales: Optional[jax.Array] = None
         self._ntotal = 0
         self._search = None
 
     def _use_blockmax(self) -> bool:
-        if self.quantize:
-            return False  # blockmax kernel variant with scales: future work
+        if self.quantize == "rows":
+            return False  # row scales can't fold into the query; scan only
         if self.method == "blockmax":
             return True
         if self.method == "scan":
@@ -162,21 +180,26 @@ class FlatIPIndex:
     def add(self, embeddings) -> None:
         """(Re)build the index contents. Rows are padded to a multiple of the
         shard count; padded rows never surface (scored −inf)."""
-        if self.quantize:
+        if self.quantize == "rows":
             emb, scales = quantize_rows_int8(jnp.asarray(embeddings))
+        elif self.quantize == "dims":
+            emb, scales = quantize_dims_int8(jnp.asarray(embeddings))
         else:
             emb = jnp.asarray(embeddings, self.dtype)
             scales = None
         n_shards = self._n_shards()
         emb, self._ntotal = _pad_rows(emb, n_shards)
-        if scales is not None:
+        if self.quantize == "rows":
             scales, _ = _pad_rows(scales, n_shards)
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(self.axis, None))
             emb = jax.device_put(emb, sharding)
-            if scales is not None:
+            if self.quantize == "rows":
                 scales = jax.device_put(
                     scales, NamedSharding(self.mesh, P(self.axis)))
+            elif self.quantize == "dims":
+                scales = jax.device_put(
+                    scales, NamedSharding(self.mesh, P()))
         self._emb = emb
         self._scales = scales
         self._search = None
@@ -202,11 +225,20 @@ class FlatIPIndex:
 
     def _build_search(self, k: int):
         ntotal = self._ntotal
+        mode = self.quantize
+
+        def prep(queries, scales):
+            """Per-dim scales fold into the query (score-linear)."""
+            if mode == "dims":
+                return queries * scales, None
+            return queries, scales if mode == "rows" else None
+
         if self.mesh is None:
             topk = self._topk_fn(k, self._emb.shape[0])
 
             def search_fn(queries, emb, scales):
-                return topk(queries, emb, scales,
+                q, row_scales = prep(queries, scales)
+                return topk(q, emb, row_scales,
                             jnp.asarray(ntotal, jnp.int32))
             return jax.jit(search_fn)
 
@@ -216,19 +248,20 @@ class FlatIPIndex:
         topk = self._topk_fn(k, rows_per_shard)
 
         def shard_search(queries, emb_shard, scales_shard):
+            q, row_scales = prep(queries, scales_shard)
             shard_id = jax.lax.axis_index(axis)
             base = (shard_id * rows_per_shard).astype(jnp.int32)
             valid = jnp.maximum(
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(ntotal, jnp.int32) - base)
-            s, i = topk(queries, emb_shard, scales_shard, valid)
+            s, i = topk(q, emb_shard, row_scales, valid)
             i = jnp.where(i >= 0, i + base, i)
             # gather tiny [Q, k] candidates from every shard, merge locally
             all_s = jax.lax.all_gather(s, axis)           # [S, Q, k]
             all_i = jax.lax.all_gather(i, axis)
             return merge_topk(all_s, all_i, k)
 
-        scales_spec = P(axis) if self._scales is not None else P()
+        scales_spec = P(axis) if mode == "rows" else P()
         fn = jax.shard_map(
             shard_search, mesh=mesh,
             in_specs=(P(), P(axis, None), scales_spec),

@@ -40,6 +40,8 @@ def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
     """
     q = q_ref[...]
     c = c_ref[...]
+    if c.dtype != q.dtype:  # int8-quantized corpus: upcast in VMEM
+        c = c.astype(q.dtype)
     s = jax.lax.dot_general(c, q, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [CHUNK, Q]
     chunk, Q = s.shape
@@ -112,7 +114,9 @@ def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
     padded_q = -(-Q // q_tile) * q_tile
     queries_p = jnp.pad(queries, ((0, padded_q - Q), (0, 0)))
 
-    qf = queries_p.astype(corpus.dtype)
+    # int8 corpora keep fp/bf16 queries (the kernel upcasts the corpus tile)
+    qf = queries_p if corpus.dtype == jnp.int8 \
+        else queries_p.astype(corpus.dtype)
     bm = blockmax_scores(qf, corpus_p, block_size=block_size,
                          chunk_rows=chunk_rows, interpret=interpret)
     n_blocks = padded_n // block_size

@@ -134,3 +134,31 @@ def test_quantized_index_sharded():
     s2, i2 = quant_s.search(queries, k=7)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_dims_quantized_index_with_blockmax_path():
+    """Per-dim int8 quantization folds scales into the query, so the fused
+    blockmax path applies; ranking matches the scan path exactly."""
+    rs = np.random.RandomState(11)
+    corpus = rs.randn(1000, 32).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rs.randn(8, 32).astype(np.float32)
+
+    exact = FlatIPIndex(dim=32, method="scan")
+    qd_scan = FlatIPIndex(dim=32, method="scan", quantize="dims")
+    exact.add(corpus)
+    qd_scan.add(corpus)
+    _, ie = exact.search(queries, k=10)
+    _, iq = qd_scan.search(queries, k=10)
+    overlap = np.mean([len(set(np.asarray(ie)[i]) & set(np.asarray(iq)[i]))
+                       / 10 for i in range(8)])
+    assert overlap >= 0.9, overlap
+    assert qd_scan._emb.dtype == jnp.int8
+    # "dims" mode is blockmax-eligible ("rows" is not)
+    assert FlatIPIndex(dim=32, method="blockmax",
+                       quantize="dims")._use_blockmax()
+    assert not FlatIPIndex(dim=32, method="blockmax",
+                           quantize="rows")._use_blockmax()
+
+    with pytest.raises(ValueError):
+        FlatIPIndex(dim=32, quantize="nope")
