@@ -160,7 +160,7 @@ def main():
          **{k: round(v, 4) if isinstance(v, float) else v
             for k, v in loop.history[-1].items()}})
 
-    TOTAL = 1560  # 13 slices/refresh × 8 steps → 15 full refreshes
+    TOTAL = 3640  # 13 slices/refresh × 8 steps → 35 full refreshes
     done = 0
     while done < TOTAL:
         t0 = time.time()
