@@ -298,7 +298,28 @@ def cmd_generate(args, inference_only=False):
             training_query_positive_id=positives_from_qrels(train_qrels),
             dev_query_positive_id=dev_qrels,
             output_dir=args.output_dir, inference_only=inference_only)
-    if result and not inference_only:
+    if result and inference_only:
+        # persist embeddings in the notebook-compatible shard layout
+        # (reference --inference mode stops after encode, run_ann_data_gen.py
+        # :256-257; shards per reference util.py:108-113)
+        from ance_tpu.evaluation.offline import save_embedding_shard
+        os.makedirs(args.output_dir, exist_ok=True)
+        prefix = os.path.join(args.output_dir, f"step{args.output_num}")
+        index = result["index"]
+        paths = {
+            "passages": save_embedding_shard(
+                prefix + "_passage_emb_p_",
+                jax.device_get(index._emb)[:index.ntotal]),
+            "passage_ids": save_embedding_shard(
+                prefix + "_passage_embid_p_", result["passage_embedding2id"]),
+            "dev_query": save_embedding_shard(
+                prefix + "_dev_query_emb_p_", result["dev_query_embedding"]),
+            "dev_query_ids": save_embedding_shard(
+                prefix + "_dev_query_embid_p_",
+                result["dev_query_embedding2id"]),
+        }
+        print(json.dumps(paths))
+    elif result:
         print(json.dumps({"dev_ndcg": result["dev_ndcg"],
                           "ann_mrr": result["ann_mrr"],
                           "data_path": result["data_path"]}))

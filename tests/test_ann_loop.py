@@ -260,3 +260,37 @@ def test_incomplete_ann_data_is_invisible(tmp_path):
     with open(os.path.join(out, "ann_ndcg_0"), "w") as f:
         json.dump({"ndcg": 0.1, "checkpoint": "c"}, f)
     assert get_latest_ann_data(out)[0] == 0
+
+
+def test_generate_inference_only_returns_embeddings(tmp_path):
+    """--inference mode parity: stop after encode+index, expose embeddings
+    (reference run_ann_data_gen.py:256-257)."""
+    from ance_tpu.train.ann_gen import generate_new_ann
+    paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    with TokenCache(paths["dev-query"]) as dev_c, \
+            TokenCache(paths["passages"]) as pass_c, \
+            TokenCache(paths["train-query"]) as train_c:
+        result = generate_new_ann(
+            AnnGenConfig(encode_batch_size=32), output_num=0,
+            checkpoint_path="init", params=params,
+            query_encode_fn=make_encode_fn(model, RobertaDot.query_emb),
+            body_encode_fn=make_encode_fn(model, RobertaDot.body_emb),
+            dev_query_cache=dev_c, passage_cache=pass_c,
+            train_query_cache=train_c,
+            training_query_positive_id={}, dev_query_positive_id=dev_qrels,
+            output_dir=str(tmp_path / "ann"), inference_only=True)
+    assert result["index"].ntotal == N_PASSAGES
+    assert result["dev_query_embedding"].shape == (N_DEV_Q, 16)
+    assert result["passage_embedding2id"].shape == (N_PASSAGES,)
+    assert result["dev_query_embedding2id"].shape == (N_DEV_Q,)
+    # no training data files written in inference mode
+    assert not (tmp_path / "ann").exists() or \
+        not list((tmp_path / "ann").iterdir())
