@@ -131,3 +131,43 @@ def test_pipelined_on_mesh(tmp_path):
     assert loop.refresh_no >= 2
     assert int(loop.state.step) == 32
     assert all(np.isfinite(h["dev_ndcg"]) for h in loop.history)
+
+
+def test_pipelined_multichunk_mode(tmp_path):
+    """MaxP document mode through the pipelined loop: multi-vector rows in
+    the index, id-level dedup in mining, chunked body encode in slices."""
+    paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=16, base_len=4)  # PLEN=12 → 3 chunks
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    opt = make_optimizer("lamb", warmup_linear(5e-3, 10, 20000))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model, multichunk=True), opt)
+    caches = {n: TokenCache(paths[n]).open()
+              for n in ("passages", "train-query", "dev-query")}
+    cfg_p = PipelineConfig(train_steps_per_slice=8, encode_slice_size=32,
+                           encode_batch_size=16, batch_size=16,
+                           topk_training=32, negative_sample=4,
+                           ann_chunk_factor=1, dev_search_depth=32,
+                           multichunk=True)
+    loop = PipelinedAnce(
+        cfg_p, state=state, train_step=step,
+        rng=jax.random.PRNGKey(3), params_of=lambda s: s.params,
+        query_encode_fn=make_encode_fn(model, RobertaDot.query_emb),
+        body_encode_fn=make_encode_fn(model, RobertaDot.body_emb_multichunk),
+        passage_cache=caches["passages"],
+        train_query_cache=caches["train-query"],
+        dev_query_cache=caches["dev-query"],
+        train_qrels=train_qrels, dev_qrels=dev_qrels)
+    loop.run(16)
+    assert loop.refresh_no >= 1
+    # multi-vector index: 64 passages × 3 chunks
+    assert loop.index.ntotal == 64 * 3
+    h = loop.history[-1]
+    assert np.isfinite(h["dev_ndcg"]) and h["num_triples"] > 0
+    assert int(loop.state.step) == 16
