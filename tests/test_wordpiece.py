@@ -98,3 +98,20 @@ def test_seed_tokenizer(vocab_file):
     # 'café' keeps its accent and (absent from vocab) maps to [UNK]
     ids2 = tok.encode("café", add_special_tokens=False)
     assert ids2 == [tok.unk_token_id]
+
+
+def test_native_fuzz_matches_python(tok):
+    """Randomized ASCII fuzz: C++ core must equal the Python reference."""
+    if tok._native is None:
+        pytest.skip("native core unavailable")
+    import random
+    rnd = random.Random(0)
+    alphabet = list("abcdefghijklmnopqrstuvwxyzABCDE !,.'\"-[]{}\t\n0123456789")
+    for _ in range(300):
+        t = "".join(rnd.choice(alphabet)
+                    for _ in range(rnd.randint(0, 60)))
+        native = tok._native.encode(t)
+        python = [tok.vocab.get(p, tok.unk_token_id)
+                  for w in basic_tokenize(t, tok.lowercase)
+                  for p in wordpiece(w, tok.vocab, tok.unk_token)]
+        assert native == python, repr(t)
