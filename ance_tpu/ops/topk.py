@@ -6,7 +6,9 @@ traffic on top of the corpus read. This module implements the fused
 alternative (SURVEY.md §7.3 "fused matmul+top-k Pallas kernel"):
 
   phase 1 (Pallas) — one kernel computes score tiles in VMEM and writes ONLY
-      per-``block_size``-row maxima: [Q, N/BS] — a BS× traffic reduction;
+      per-``block_size``-row maxima: [Q, N/BS] — a BS× traffic reduction
+      (measured sweep on v5e @ 1M×768, Q=512, k=200: BS=16 → 87 ms vs
+      721 ms scan baseline = 8.3×; BS=8 ties, BS=32 123 ms, BS=64 209 ms);
   phase 2 (XLA)    — top-k over block maxima selects candidate blocks;
   phase 3 (XLA)    — gather the k·BS candidate rows per query, re-score
       exactly, final top-k (scanned over query tiles to bound memory).
@@ -52,7 +54,7 @@ def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
 @functools.partial(jax.jit, static_argnames=("block_size", "chunk_rows",
                                              "interpret"))
 def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
-                    block_size: int = 32, chunk_rows: int = 1024,
+                    block_size: int = 16, chunk_rows: int = 1024,
                     interpret: bool = False) -> jax.Array:
     """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size].
 
@@ -95,7 +97,7 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
 @functools.partial(jax.jit, static_argnames=("k", "block_size", "chunk_rows",
                                              "q_tile", "interpret"))
 def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
-                  block_size: int = 32, chunk_rows: int = 1024,
+                  block_size: int = 16, chunk_rows: int = 1024,
                   q_tile: int = 64, interpret: bool = False,
                   valid_rows=None):
     """Exact top-k inner product via the block-max bound.
