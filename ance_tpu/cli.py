@@ -24,19 +24,26 @@ import sys
 logger = logging.getLogger("ance_tpu")
 
 
-def _tokenizer_factory(name: str, model_dir: str | None = None):
+class _tokenizer_factory:
     """Resolve a tokenizer by name: HF pretrained (roberta-base /
-    bert-base-uncased / local dir) or the native WordPiece."""
-    def factory():
-        if name == "seed-wordpiece":
+    bert-base-uncased / local dir) or the native WordPiece.
+
+    A picklable class, not a closure — preprocessing fans out over
+    spawn-based worker processes that must serialize the factory."""
+
+    def __init__(self, name: str, model_dir: str | None = None):
+        self.name = name
+        self.model_dir = model_dir
+
+    def __call__(self):
+        if self.name == "seed-wordpiece":
             from ance_tpu.data.wordpiece import WordPieceTokenizer
-            if not model_dir:
+            if not self.model_dir:
                 raise SystemExit("seed tokenizer requires --model_name_or_path "
                                  "pointing at a vocab.txt directory")
-            return WordPieceTokenizer.from_vocab_file(model_dir)
+            return WordPieceTokenizer.from_vocab_file(self.model_dir)
         from transformers import AutoTokenizer
-        return AutoTokenizer.from_pretrained(model_dir or name)
-    return factory
+        return AutoTokenizer.from_pretrained(self.model_dir or self.name)
 
 
 def _add_common_model_flags(p):
