@@ -160,6 +160,8 @@ class FlatIPIndex:
         self._scales: Optional[jax.Array] = None
         self._ntotal = 0
         self._search = None
+        self._update = None
+        self._slice_rows: Optional[int] = None
 
     def _use_blockmax(self) -> bool:
         if self.quantize == "rows":
@@ -203,9 +205,90 @@ class FlatIPIndex:
         self._emb = emb
         self._scales = scales
         self._search = None
+        self._update = None
+        self._slice_rows = None  # add() layouts are not slice-aligned
 
     def reset(self) -> None:
         self._emb, self._ntotal, self._search = None, 0, None
+        self._update = None
+        self._slice_rows = None
+
+    # -- in-place slice refresh (the pipelined loop's in-HBM segment swap) --
+    def allocate(self, ntotal: int, dim: int, slice_rows: int) -> None:
+        """Allocate a zeroed device-resident buffer that accepts in-place
+        ``update_slice`` writes (replaces the reference's host-side
+        rebuild-and-re-add, run_ann_data_gen.py:265-272).
+
+        Rows are padded so every ``slice_rows``-aligned slice lies entirely
+        within one shard (``rows_per_shard % slice_rows == 0``); padding rows
+        never surface (scored −inf via ``ntotal`` masking)."""
+        if self.quantize:
+            raise ValueError("update_slice requires an unquantized index "
+                             "(quantization scales are corpus-global)")
+        n_shards = self._n_shards()
+        per_shard = -(-ntotal // (n_shards * slice_rows)) * slice_rows
+        padded = per_shard * n_shards
+        self.dim = dim
+        self._slice_rows = slice_rows
+        buf = jnp.zeros((padded, dim), self.dtype)
+        if self.mesh is not None:
+            buf = jax.device_put(
+                buf, NamedSharding(self.mesh, P(self.axis, None)))
+        self._emb = buf
+        self._scales = None
+        self._ntotal = ntotal
+        self._search = None
+        self._update = None
+
+    def _build_update(self):
+        """Jitted in-place writer: (buf, slice [slice_rows, D], start) → buf.
+        The buffer is donated, so XLA updates the HBM segment in place — no
+        host round-trip, no full-buffer copy."""
+        if self.mesh is None:
+            def upd(buf, sl, start):
+                return jax.lax.dynamic_update_slice(
+                    buf, sl.astype(buf.dtype), (start, 0))
+            return jax.jit(upd, donate_argnums=(0,))
+
+        mesh, axis = self.mesh, self.axis
+        rows_per_shard = self._emb.shape[0] // mesh.shape[axis]
+
+        def upd_shard(buf_shard, sl, start):
+            # the slice is aligned to lie inside exactly one shard; only the
+            # owner writes, everyone else passes its shard through untouched
+            shard = jax.lax.axis_index(axis)
+            owner = start // rows_per_shard
+            local = (start - owner * rows_per_shard).astype(jnp.int32)
+            return jax.lax.cond(
+                owner == shard,
+                lambda b: jax.lax.dynamic_update_slice(
+                    b, sl.astype(b.dtype), (local, 0)),
+                lambda b: b, buf_shard)
+
+        fn = jax.shard_map(upd_shard, mesh=mesh,
+                           in_specs=(P(axis, None), P(), P()),
+                           out_specs=P(axis, None), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def update_slice(self, start: int, emb) -> None:
+        """Overwrite rows [start, start + len(emb)) in HBM. ``start`` must be
+        ``slice_rows``-aligned; a short final slice is zero-padded (the pad
+        lands in rows ≥ ntotal, which never surface)."""
+        if getattr(self, "_slice_rows", None) is None:
+            raise ValueError("call allocate() before update_slice()")
+        sr = self._slice_rows
+        if start % sr:
+            raise ValueError(f"start {start} not aligned to slice_rows {sr}")
+        emb = jnp.asarray(emb)
+        if emb.shape[0] > sr:
+            raise ValueError(f"slice has {emb.shape[0]} rows > {sr}")
+        if emb.shape[0] < sr:
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((sr - emb.shape[0], emb.shape[1]), emb.dtype)])
+        if self._update is None:
+            self._update = self._build_update()
+        self._emb = self._update(self._emb, emb,
+                                 jnp.asarray(start, jnp.int32))
 
     def _topk_fn(self, k: int, max_rows: int):
         """Per-device exact top-k: fused blockmax kernel or scan merge."""
@@ -251,9 +334,12 @@ class FlatIPIndex:
             q, row_scales = prep(queries, scales_shard)
             shard_id = jax.lax.axis_index(axis)
             base = (shard_id * rows_per_shard).astype(jnp.int32)
-            valid = jnp.maximum(
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(ntotal, jnp.int32) - base)
+            # clamp to the shard's own row count: internal chunk/blockmax
+            # padding rows in NON-last shards must score −inf too, else they
+            # surface as phantom score-0 hits whose offset ids alias other
+            # shards' real rows
+            valid = jnp.clip(jnp.asarray(ntotal, jnp.int32) - base,
+                             0, rows_per_shard)
             s, i = topk(q, emb_shard, row_scales, valid)
             i = jnp.where(i >= 0, i + base, i)
             # gather tiny [Q, k] candidates from every shard, merge locally
@@ -273,11 +359,13 @@ class FlatIPIndex:
         ids are −1 only when k exceeds ntotal (parity: FAISS returns −1)."""
         if self._emb is None:
             raise ValueError("index is empty; call add() first")
-        if self._search is None or self._search[0] != k:
-            self._search = (k, self._build_search(k))
+        if self._search is None:
+            self._search = {}
+        if k not in self._search:  # cache per k: dev/mining depths alternate
+            self._search[k] = self._build_search(k)
         queries = jnp.asarray(queries, jnp.float32 if self.quantize
                               else self.dtype)
-        scores, ids = self._search[1](queries, self._emb, self._scales)
+        scores, ids = self._search[k](queries, self._emb, self._scales)
         return scores, ids
 
 

@@ -55,6 +55,33 @@ def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
                    out_shardings=repl)
 
 
+def encode_cache_to_device(encode_fn: Callable, params, cache: TokenCache,
+                           batch_size: int = 128, multichunk: bool = False,
+                           start: int = 0, stop: Optional[int] = None
+                           ) -> tuple[jax.Array, np.ndarray]:
+    """Encode records [start, stop) keeping embeddings DEVICE-resident —
+    the feed path for the in-HBM index refresh (no host round-trip; the
+    reference's np.save/merge boundary, util.py:87-146, disappears).
+
+    Returns (embeddings [M, D] jax.Array, embedding2id [M] np.int64).
+    MaxP chunk rows flatten on device; ids repeat per chunk
+    (reference run_ann_data_gen.py:182-189)."""
+    parts: list[jax.Array] = []
+    id_parts: list[np.ndarray] = []
+    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop):
+        out = encode_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        real = len(keys)
+        if multichunk:
+            C = out.shape[1]
+            parts.append(out[:real].reshape(real * C, -1))
+            id_parts.append(np.repeat(keys, C))
+        else:
+            parts.append(out[:real])
+            id_parts.append(keys)
+    emb = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return emb, np.concatenate(id_parts).astype(np.int64)
+
+
 def encode_cache(encode_fn: Callable, params, cache: TokenCache,
                  batch_size: int = 128, multichunk: bool = False,
                  start: int = 0, stop: Optional[int] = None,

@@ -6,14 +6,25 @@ corpus re-encode stalls negative freshness for its entire duration
 in ONE program on one mesh (SURVEY.md §7.2 step 8, the north star):
 
   * training params update every step;
-  * a frozen SNAPSHOT of the params encodes the corpus in fixed-size slices,
-    one slice scheduled between every ``train_steps_per_slice`` train steps —
-    re-encode cost is amortized instead of serialized;
-  * when the last slice lands, the refreshed embeddings swap into the
-    HBM-resident index, dev NDCG is evaluated, the next train-query chunk is
-    mined for negatives (rotation parity: reference
-    run_ann_data_gen.py:281-296), the training feed switches to the new
-    triples, and a new snapshot is taken.
+  * ALL generator work — corpus re-encode, dev-query encode, dev search,
+    train-query encode, mining search — is cut into fixed-size work items,
+    one item executed between every ``train_steps_per_slice`` train steps, so
+    the gap between consecutive train steps is bounded by ≈ one item instead
+    of a whole generation (the stall the reference schedule serializes);
+  * corpus embeddings live in HBM: each encode slice stays device-resident
+    and lands in the sharded index buffer via an in-place
+    ``dynamic_update_slice`` (FlatIPIndex.update_slice) — the O(corpus)
+    host accumulate/concatenate/re-add round-trip is gone;
+  * one buffer, no copy: the schedule orders every search item of refresh k
+    strictly after its last corpus slice and strictly before refresh k+1's
+    first slice, so searches always see a complete, consistent index and no
+    second (double) buffer is needed.
+
+Work-item tags in ``schedule_trace`` (T = train step between items):
+  E corpus encode slice → in-HBM write       D dev-query encode
+  S dev search chunk                          V dev metrics (host)
+  Q train-query chunk encode                  M mining search + select
+  F finalize: triples, feed swap, new snapshot, seed next cycle
 
 Staleness semantics: negatives used at any step come from the previous
 completed refresh — the same one-refresh lag as the reference's
@@ -23,20 +34,24 @@ staleness/throughput knob (SURVEY.md §7.3 flags this as the knob to expose).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import functools
 import logging
 import random
+import time
 from typing import Callable, Mapping, Optional
 
 import jax
 import numpy as np
 
 from ance_tpu.data.cache import TokenCache
-from ance_tpu.data.feed import TripletBatches, expand_triples, infinite_batches
-from ance_tpu.evaluation.metrics import eval_dev_ndcg
+from ance_tpu.data.feed import TripletBatches, infinite_batches
+from ance_tpu.evaluation.metrics import (
+    dedup_ranking, eval_dev_ndcg, recall_at_k)
 from ance_tpu.index.flat import FlatIPIndex
 from ance_tpu.train.ann_gen import mine_negatives, query_chunk_range
-from ance_tpu.train.encode import encode_cache
+from ance_tpu.train.encode import encode_cache, encode_cache_to_device
 
 logger = logging.getLogger(__name__)
 
@@ -52,8 +67,11 @@ class PipelineConfig:
     ann_chunk_factor: int = 5
     ann_measure_topk_mrr: bool = False
     dev_search_depth: int = 100
+    search_chunk_queries: int = 4096   # queries per search work item
     multichunk: bool = False
     shuffle_seed: int = 42
+    log_trust_ratios: bool = False     # LAMB trust-ratio stats per refresh
+                                       # (reference lamb.py:11-22 log_lamb_rs)
 
 
 class PipelinedAnce:
@@ -80,18 +98,20 @@ class PipelinedAnce:
         self.train_positive = {q: next(iter(r))
                                for q, r in train_qrels.items() if r}
         self.dev_qrels = dev_qrels
+        self.mesh = mesh
         self.index: Optional[FlatIPIndex] = None
-        if mesh is not None:
-            self.index = FlatIPIndex(dim=0, mesh=mesh)  # dim set on first add
         self.refresh_no = 0
         self.snapshot = self._snapshot_params()
-        self._slice_cursor = 0
-        self._emb_parts: list[np.ndarray] = []
-        self._id_parts: list[np.ndarray] = []
         self._batches = None
         self.history: list[dict] = []
-        self.schedule_trace: list[str] = []  # 'T' train step / 'E' slice
-        self._losses_since_refresh: list[float] = []
+        self.schedule_trace: list[str] = []
+        self.item_times: dict[str, list[float]] = collections.defaultdict(list)
+        self._losses_since_refresh: list = []
+        self._work: collections.deque = collections.deque()
+        self._cyc: dict = {}  # per-cycle accumulators
+        self._passage_ids: Optional[np.ndarray] = None
+        self._rows_per_record: Optional[int] = None
+        self._seed_cycle()
 
     def _snapshot_params(self):
         """Deep-copy the live params: the jitted train step donates its
@@ -100,65 +120,77 @@ class PipelinedAnce:
         import jax.numpy as jnp
         return jax.tree.map(jnp.copy, self.params_of(self.state))
 
-    # -- refresh machinery --------------------------------------------------
-    def _encode_slice(self) -> bool:
-        """Encode the next corpus slice with the snapshot params. Returns
-        True when this slice completed the corpus."""
-        n = len(self.passage_cache)
-        start = self._slice_cursor
-        stop = min(start + self.cfg.encode_slice_size, n)
-        emb, ids = encode_cache(self.bfn, self.snapshot, self.passage_cache,
-                                self.cfg.encode_batch_size,
-                                multichunk=self.cfg.multichunk,
-                                start=start, stop=stop)
-        self._emb_parts.append(emb)
-        self._id_parts.append(ids)
-        self._slice_cursor = stop
-        self.schedule_trace.append("E")
-        return stop >= n
+    # -- work items ----------------------------------------------------------
+    def _encode_corpus_slice(self, start: int, stop: int) -> None:
+        """Encode corpus records [start, stop) with the snapshot params and
+        write them straight into the HBM-resident index buffer."""
+        emb, ids = encode_cache_to_device(
+            self.bfn, self.snapshot, self.passage_cache,
+            self.cfg.encode_batch_size, multichunk=self.cfg.multichunk,
+            start=start, stop=stop)
+        if self.index is None or self.index._slice_rows is None:
+            n = len(self.passage_cache)
+            self._rows_per_record = emb.shape[0] // (stop - start)
+            self._passage_ids = np.repeat(
+                np.arange(n, dtype=np.int64), self._rows_per_record)
+            if self.index is None:
+                self.index = FlatIPIndex(dim=emb.shape[1], mesh=self.mesh)
+            self.index.allocate(
+                n * self._rows_per_record, emb.shape[1],
+                slice_rows=self.cfg.encode_slice_size * self._rows_per_record)
+        self.index.update_slice(start * self._rows_per_record, emb)
 
-    def _finish_refresh(self) -> dict:
-        """Swap refreshed embeddings into the index, evaluate, mine, switch
-        the training feed, take a new snapshot."""
-        cfg = self.cfg
-        passage_emb = np.concatenate(self._emb_parts, axis=0)
-        passage_ids = np.concatenate(self._id_parts, axis=0)
-        self._emb_parts, self._id_parts = [], []
-        self._slice_cursor = 0
+    def _encode_dev(self) -> None:
+        self._cyc["dev_emb"], self._cyc["dev_ids"] = encode_cache(
+            self.qfn, self.snapshot, self.dev_query_cache,
+            self.cfg.encode_batch_size)
 
-        if self.index is None:
-            self.index = FlatIPIndex(dim=passage_emb.shape[1])
-        elif self.index.dim == 0:
-            self.index.dim = passage_emb.shape[1]
-        self.index.add(passage_emb)  # atomic in-HBM swap
+    def _search_dev(self, qs: int, qe: int) -> None:
+        k = min(self.cfg.dev_search_depth, self.index.ntotal)
+        _, nb = self.index.search(self._cyc["dev_emb"][qs:qe], k)
+        self._cyc.setdefault("dev_nb", []).append(np.asarray(nb))
 
-        dev_emb, dev_ids = encode_cache(self.qfn, self.snapshot,
-                                        self.dev_query_cache,
-                                        cfg.encode_batch_size)
-        k_dev = min(cfg.dev_search_depth, self.index.ntotal)
-        _, dev_nb = self.index.search(dev_emb, k_dev)
-        dev_nb = np.asarray(dev_nb)
-        dev_ndcg, _ = eval_dev_ndcg(dev_nb, dev_ids, passage_ids,
+    def _dev_metrics(self) -> None:
+        dev_nb = np.concatenate(self._cyc.pop("dev_nb"), axis=0)
+        dev_ids = self._cyc.pop("dev_ids")
+        k = min(self.cfg.dev_search_depth, self.index.ntotal)
+        dev_ndcg, _ = eval_dev_ndcg(dev_nb, dev_ids, self._passage_ids,
                                     self.dev_qrels)
         # recall@search-depth: earlier-moving signal than NDCG@10
-        from ance_tpu.evaluation.metrics import dedup_ranking, recall_at_k
         dev_recall = recall_at_k(
             self.dev_qrels,
-            dedup_ranking(dev_nb, dev_ids, passage_ids), k=k_dev)
+            dedup_ranking(dev_nb, dev_ids, self._passage_ids), k=k)
+        self._cyc["dev_ndcg"], self._cyc["dev_recall"] = dev_ndcg, dev_recall
+        self._cyc.pop("dev_emb", None)
 
-        n_q = len(self.train_query_cache)
-        q_start, q_end = query_chunk_range(n_q, cfg.ann_chunk_factor,
-                                           self.refresh_no)
-        tq_emb, tq_ids = encode_cache(self.qfn, self.snapshot,
-                                      self.train_query_cache,
-                                      cfg.encode_batch_size,
-                                      start=q_start, stop=q_end)
-        k_mine = min(cfg.topk_training, self.index.ntotal)
-        _, nb = self.index.search(tq_emb, k_mine)
-        negatives, ann_mrr = mine_negatives(
-            tq_ids, passage_ids, self.train_positive, np.asarray(nb),
+    def _encode_train_queries(self, q_start: int, q_end: int) -> None:
+        self._cyc["tq_emb"], self._cyc["tq_ids"] = encode_cache(
+            self.qfn, self.snapshot, self.train_query_cache,
+            self.cfg.encode_batch_size, start=q_start, stop=q_end)
+
+    def _mine_chunk(self, qs: int, qe: int, chunk_no: int) -> None:
+        cfg = self.cfg
+        k = min(cfg.topk_training, self.index.ntotal)
+        tq_emb = self._cyc["tq_emb"]
+        tq_ids = self._cyc["tq_ids"][qs:qe]
+        _, nb = self.index.search(tq_emb[qs:qe], k)
+        negs, mrr = mine_negatives(
+            tq_ids, self._passage_ids, self.train_positive, np.asarray(nb),
             cfg.negative_sample, select_topk=cfg.ann_measure_topk_mrr,
-            rng=random.Random(cfg.shuffle_seed + self.refresh_no))
+            rng=random.Random(cfg.shuffle_seed
+                              + 7919 * self.refresh_no + chunk_no))
+        self._cyc.setdefault("negatives", {}).update(negs)
+        n_q = sum(1 for q in tq_ids if int(q) in self.train_positive)
+        self._cyc.setdefault("mrr_parts", []).append((mrr, n_q))
+
+    def _finalize_refresh(self) -> dict:
+        """Build triples, switch the training feed, record metrics, take a
+        new snapshot, and seed the next cycle's work queue."""
+        cfg = self.cfg
+        negatives = self._cyc.pop("negatives", {})
+        parts = self._cyc.pop("mrr_parts", [(0.0, 0)])
+        total_q = sum(w for _, w in parts)
+        ann_mrr = (sum(m * w for m, w in parts) / total_q) if total_q else 0.0
 
         triples = []
         for qid, negs in negatives.items():
@@ -174,30 +206,79 @@ class PipelinedAnce:
                 seed=cfg.shuffle_seed + self.refresh_no)
             self._batches = infinite_batches(feed)
 
-        entry = {"refresh": self.refresh_no, "dev_ndcg": dev_ndcg,
-                 "dev_recall": dev_recall,
+        entry = {"refresh": self.refresh_no,
+                 "dev_ndcg": self._cyc.pop("dev_ndcg"),
+                 "dev_recall": self._cyc.pop("dev_recall"),
                  "ann_mrr": ann_mrr, "num_triples": len(triples),
                  "step": int(jax.device_get(self.state.step))}
         if self._losses_since_refresh:
             entry["mean_loss"] = float(np.mean(
                 jax.device_get(self._losses_since_refresh)))
             self._losses_since_refresh = []
+        if cfg.log_trust_ratios and hasattr(self.state, "opt_state"):
+            from ance_tpu.optim.lamb import trust_ratio_summary
+            summary = trust_ratio_summary(self.state.opt_state,
+                                          self.params_of(self.state))
+            if summary:
+                entry.update(summary)
         logger.info("pipelined refresh %s", entry)
         self.history.append(entry)
         self.refresh_no += 1
+        self._cyc.pop("tq_emb", None)
+        self._cyc.pop("tq_ids", None)
         self.snapshot = self._snapshot_params()
+        self._seed_cycle()
         return entry
 
+    # -- cycle scheduling ------------------------------------------------------
+    def _seed_cycle(self) -> None:
+        """Queue one full refresh cycle as ordered work items. Search items
+        come strictly after the last corpus slice, so every search sees a
+        complete refreshed index (single-buffer consistency)."""
+        cfg = self.cfg
+        work = self._work
+        n = len(self.passage_cache)
+        for s in range(0, n, cfg.encode_slice_size):
+            work.append(("E", functools.partial(
+                self._encode_corpus_slice, s,
+                min(s + cfg.encode_slice_size, n))))
+        work.append(("D", self._encode_dev))
+        n_dev = len(self.dev_query_cache)
+        for qs in range(0, n_dev, cfg.search_chunk_queries):
+            work.append(("S", functools.partial(
+                self._search_dev, qs, min(qs + cfg.search_chunk_queries,
+                                          n_dev))))
+        work.append(("V", self._dev_metrics))
+        q_start, q_end = query_chunk_range(
+            len(self.train_query_cache), cfg.ann_chunk_factor,
+            self.refresh_no)
+        work.append(("Q", functools.partial(
+            self._encode_train_queries, q_start, q_end)))
+        n_tq = q_end - q_start
+        for i, qs in enumerate(range(0, n_tq, cfg.search_chunk_queries)):
+            work.append(("M", functools.partial(
+                self._mine_chunk, qs, min(qs + cfg.search_chunk_queries,
+                                          n_tq), i)))
+        work.append(("F", self._finalize_refresh))
+
+    def _run_item(self) -> None:
+        tag, fn = self._work.popleft()
+        t0 = time.perf_counter()
+        fn()
+        self.item_times[tag].append(time.perf_counter() - t0)
+        self.schedule_trace.append(tag)
+
     def bootstrap(self) -> dict:
-        """Initial full refresh (all slices) before training starts — the
-        reference's 'initial ann data generation' (commands/run_train.sh)."""
-        while not self._encode_slice():
-            pass
-        return self._finish_refresh()
+        """Initial full refresh (all work items back to back) before training
+        starts — the reference's 'initial ann data generation'
+        (commands/run_train.sh)."""
+        while self._batches is None:
+            self._run_item()
+        return self.history[-1]
 
     # -- the interleaved schedule -------------------------------------------
     def run(self, num_steps: int) -> None:
-        """Run ``num_steps`` train steps with encode slices interleaved every
+        """Run ``num_steps`` train steps with ONE work item executed every
         ``train_steps_per_slice`` steps."""
         if self._batches is None:
             self.bootstrap()
@@ -209,6 +290,5 @@ class PipelinedAnce:
             # and break dispatch pipelining; resolved at refresh time
             self._losses_since_refresh.append(metrics["loss"])
             self.schedule_trace.append("T")
-            if (i + 1) % self.cfg.train_steps_per_slice == 0:
-                if self._encode_slice():
-                    self._finish_refresh()
+            if (i + 1) % self.cfg.train_steps_per_slice == 0 and self._work:
+                self._run_item()

@@ -79,6 +79,29 @@ def test_sharded_equals_single_device():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
 
+def test_sharded_internal_padding_never_surfaces():
+    """Regression (ADVICE r1, high): per-shard chunk padding rows in
+    NON-last shards scored 0.0 and aliased other shards' real ids. With
+    all-negative true scores every phantom 0.0 would win; the result must
+    still equal exhaustive numpy search."""
+    rs = np.random.RandomState(6)
+    d = 8
+    base_vecs = np.abs(rs.randn(75, d)).astype(np.float32)
+    corpus = base_vecs  # all-positive rows
+    queries = -np.abs(rs.randn(5, d)).astype(np.float32)  # all scores < 0
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    # 75 rows pad to 80 → 10 rows/shard; chunk_rows=4 → per-shard scan pads
+    # to 12 rows, i.e. 2 internal padding rows in EVERY shard whose global
+    # ids (base+10, base+11) alias real rows of later shards
+    index = FlatIPIndex(dim=d, mesh=mesh, chunk_rows=4, method="scan")
+    index.add(corpus)
+    s, i = index.search(queries, k=4)
+    ref_s, ref_i = _np_topk(queries, corpus, 4)
+    assert np.all(np.asarray(s) < 0), "phantom non-negative score surfaced"
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5, atol=1e-5)
+
+
 def test_knn_inner_product_entry():
     """Index-free path (reference eval_mrr.py search_knn)."""
     queries, corpus = _data(n=300, q=4, d=8, seed=4)
@@ -96,6 +119,63 @@ def test_index_rebuild_replaces_contents():
     index.add(corpus2)
     _, after = index.search(queries, k=3)
     np.testing.assert_array_equal(np.asarray(after), 99 - np.asarray(before))
+
+
+def test_update_slice_equals_full_rebuild_single_device():
+    """allocate + in-place update_slice must search identically to the
+    rebuild-from-scratch add() path (including a short final slice)."""
+    queries, corpus = _data(n=100, q=7, d=8, seed=7)
+    full = FlatIPIndex(dim=8, chunk_rows=32)
+    full.add(corpus)
+
+    inc = FlatIPIndex(dim=8, chunk_rows=32)
+    inc.allocate(100, 8, slice_rows=16)
+    for s in range(0, 100, 16):
+        inc.update_slice(s, corpus[s:s + 16])  # last slice: 4 rows, padded
+    assert inc.ntotal == 100
+    s1, i1 = full.search(queries, k=9)
+    s2, i2 = inc.search(queries, k=9)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_update_slice_equals_full_rebuild_on_mesh():
+    """Sharded in-HBM segment swap: slice writes route to the owning shard
+    only; results equal the single-device rebuild."""
+    queries, corpus = _data(n=100, q=5, d=8, seed=8)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    single = FlatIPIndex(dim=8, chunk_rows=32)
+    single.add(corpus)
+
+    inc = FlatIPIndex(dim=8, mesh=mesh, chunk_rows=32)
+    inc.allocate(100, 8, slice_rows=16)  # per-shard 16 rows → 128 padded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    assert inc._emb.sharding == NamedSharding(mesh, P("data", None))
+    for s in range(0, 100, 16):
+        inc.update_slice(s, corpus[s:s + 16])
+    s1, i1 = single.search(queries, k=9)
+    s2, i2 = inc.search(queries, k=9)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    # slices are overwritable in place: refreshing rows changes results
+    inc.update_slice(0, corpus[16:32])
+    _, i3 = inc.search(queries, k=9)
+    assert not np.array_equal(np.asarray(i2), np.asarray(i3))
+
+
+def test_update_slice_guards():
+    corpus = np.eye(8, dtype=np.float32)
+    idx = FlatIPIndex(dim=8)
+    with pytest.raises(ValueError):
+        idx.update_slice(0, corpus)  # no allocate()
+    idx.allocate(8, 8, slice_rows=4)
+    with pytest.raises(ValueError):
+        idx.update_slice(2, corpus[:4])  # unaligned start
+    with pytest.raises(ValueError):
+        idx.update_slice(0, corpus)  # slice too large
+    with pytest.raises(ValueError):
+        FlatIPIndex(dim=8, quantize=True).allocate(8, 8, slice_rows=4)
 
 
 def test_quantized_index_near_exact():

@@ -46,7 +46,11 @@ def _setup(tmp_path, cfg_pipeline):
     return loop
 
 
-def test_schedule_interleaves_encode_with_training(tmp_path):
+def test_schedule_interleaves_all_generator_work(tmp_path):
+    """EVERY piece of generator work — corpus encode, dev encode, dev
+    search, metrics, train-query encode, mining, finalize — runs as one
+    bounded work item between train steps; no multi-item stall ever occurs
+    (round-1 verdict: _finish_refresh was a synchronous stall)."""
     cfg = PipelineConfig(train_steps_per_slice=4, encode_slice_size=16,
                          encode_batch_size=16, batch_size=16,
                          topk_training=32, negative_sample=8,
@@ -54,25 +58,30 @@ def test_schedule_interleaves_encode_with_training(tmp_path):
     loop = _setup(tmp_path, cfg)
     loop.bootstrap()
     assert loop.refresh_no == 1
-    n_bootstrap_slices = 64 // 16
-    assert loop.schedule_trace == ["E"] * n_bootstrap_slices
+    # 64 passages / 16 per slice = 4 E, then dev encode/search/metrics,
+    # train-query encode, one mining chunk, finalize
+    cycle = "EEEEDSVQMF"
+    assert "".join(loop.schedule_trace) == cycle
 
-    loop.run(32)
-    trace = "".join(loop.schedule_trace[n_bootstrap_slices:])
-    # exactly one encode slice after every 4 train steps
-    assert trace == ("TTTTE" * 8)
-    # 32 steps → 8 slices → corpus (4 slices) refreshed twice more
-    assert loop.refresh_no == 3
-    assert int(loop.state.step) == 32
-    # negatives in use always come from the previous completed refresh:
-    # snapshot param step lags the live step
-    assert loop.history[-1]["step"] == 32
+    loop.run(40)
+    trace = "".join(loop.schedule_trace[len(cycle):])
+    # exactly one work item after every 4 train steps, full cycle in order
+    assert trace == "".join("TTTT" + tag for tag in cycle)
+    assert loop.refresh_no == 2
+    assert int(loop.state.step) == 40
+    assert loop.history[-1]["step"] == 40
+    # the de-stall property: work items never run back to back mid-training
+    for run_len in map(len, "".join(
+            c if c != "T" else " " for c in trace).split()):
+        assert run_len == 1
+    # every item type was timed (observability for the schedule)
+    assert set(loop.item_times) == set("EDSVQMF")
 
 
 def test_pipelined_learns_like_cyclic_loop(tmp_path):
-    # refresh cadence ≈ the cyclic test's 150 steps/cycle: 4 slices ×
-    # 35 steps → refresh every 140 steps
-    cfg = PipelineConfig(train_steps_per_slice=35, encode_slice_size=16,
+    # refresh cadence ≈ the cyclic test's 150 steps/cycle: 10 work items ×
+    # 14 steps → refresh every 140 steps
+    cfg = PipelineConfig(train_steps_per_slice=14, encode_slice_size=16,
                          encode_batch_size=32, batch_size=32,
                          topk_training=32, negative_sample=8,
                          ann_chunk_factor=1, ann_measure_topk_mrr=True,
@@ -126,10 +135,14 @@ def test_pipelined_on_mesh(tmp_path):
             train_query_cache=caches["train-query"],
             dev_query_cache=caches["dev-query"],
             train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh)
-        loop.run(32)
+        # 2 E slices + D S V Q M F = 8 items per cycle at 8 steps/item
+        loop.run(64)
     assert loop.index.mesh is mesh          # sharded index in use
-    assert loop.refresh_no >= 2
-    assert int(loop.state.step) == 32
+    assert loop.refresh_no == 2
+    assert int(loop.state.step) == 64
+    # the corpus buffer is mesh-sharded and device-resident (in-HBM swap)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    assert loop.index._emb.sharding == NamedSharding(mesh, P("data", None))
     assert all(np.isfinite(h["dev_ndcg"]) for h in loop.history)
 
 
