@@ -148,6 +148,12 @@ class SeedForMaskedLM(nn.Module):
         self.decoder_pos = nn.Embed(
             self.decoder_config.max_positions + ecfg.pad_token_id + 1,
             ecfg.hidden_size, name="decoder_pos")
+        # layernorm_embedding=True (configuration_seed_encoder.py:108):
+        # fairseq decoder LayerNorms (then drops out) the embed+pos sum
+        self.decoder_embed_norm = nn.LayerNorm(
+            epsilon=self.decoder_config.layer_norm_eps,
+            use_fast_variance=False, name="decoder_embed_norm")
+        self.decoder_embed_dropout = nn.Dropout(self.decoder_config.dropout)
         self.decoder_final_norm = nn.LayerNorm(
             epsilon=self.decoder_config.layer_norm_eps,
             use_fast_variance=False, name="decoder_final_norm")
@@ -187,11 +193,17 @@ class SeedForMaskedLM(nn.Module):
         mask = (prev_tokens != pad).astype(jnp.int32)
         positions = jnp.cumsum(mask, axis=1) * mask + pad
         x = x + self.decoder_pos(positions)
+        x = self.decoder_embed_norm(x)
+        x = self.decoder_embed_dropout(x, deterministic=deterministic)
 
         bias = windowed_causal_bias(prev_tokens.shape[1],
                                     self.decoder_config.attention_window)
         for layer in self.decoder_layers:
             x = layer(x, memory, bias, deterministic=deterministic)
         x = self.decoder_final_norm(x)
-        dec_logits = x @ table.T + self.lm_bias
+        # tied output projection is bias-free (share_decoder_input_output_
+        # embed=True → output_projection = Linear(..., bias=False),
+        # transformer_sentence_encoder.py:108-113); lm_bias belongs to the
+        # MLM head only
+        dec_logits = x @ table.T
         return mlm_logits, dec_logits
