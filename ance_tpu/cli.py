@@ -99,6 +99,25 @@ def cmd_preprocess_dpr(args):
                       for k, v in result.items()}))
 
 
+def _torch_ckpt_file(model_dir: str) -> bool:
+    return any(f.endswith((".bin", ".pt")) for f in os.listdir(model_dir))
+
+
+def _warm_start_params(spec, params, model_dir):
+    """Graft a torch checkpoint onto fresh init params, dispatching the
+    mapping on the model family (ADVICE r1: a DPR CheckpointState must go
+    through the biencoder mapping, never the RobertaDot one)."""
+    from ance_tpu.models import hf_loader
+    sd = hf_loader.load_torch_state_dict(model_dir)
+    if spec.two_tower:
+        loaded = hf_loader.biencoder_params_from_torch(sd)
+    elif spec.name == "seeddot_nll":
+        loaded = hf_loader.seeddot_params_from_torch(sd)
+    else:
+        loaded = hf_loader.robertadot_params_from_torch(sd)
+    return hf_loader.graft(params, loaded)
+
+
 def _make_training(args, model, spec):
     import jax
     import jax.numpy as jnp
@@ -116,14 +135,11 @@ def _make_training(args, model, spec):
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed),
                                  jnp.zeros((2, L), jnp.int32),
                                  jnp.ones((2, L), jnp.int32))["params"]
-    if args.model_name_or_path:
-        from ance_tpu.models.hf_loader import (
-            graft, load_torch_state_dict, robertadot_params_from_torch)
-        if os.path.isdir(args.model_name_or_path) and any(
-                f.endswith(".bin") for f in os.listdir(args.model_name_or_path)):
-            sd = load_torch_state_dict(args.model_name_or_path)
-            params = graft(params, robertadot_params_from_torch(sd))
-            logger.info("warm-started from %s", args.model_name_or_path)
+    if args.model_name_or_path and os.path.isdir(args.model_name_or_path) \
+            and _torch_ckpt_file(args.model_name_or_path):
+        params = _warm_start_params(spec, params, args.model_name_or_path)
+        logger.info("warm-started %s from %s", spec.name,
+                    args.model_name_or_path)
     state = init_train_state(params, opt)
     mesh = make_mesh() if args.data_parallel else None
     if spec.loss == "dpr_inbatch":
@@ -203,6 +219,37 @@ def cmd_train(args):
     from ance_tpu.train.ance_loop import AnceCycleConfig, run_trainer_job
     spec, model = _build_model(args)
     state, step, _ = _make_training(args, model, spec)
+
+    if args.num_epoch > 0:
+        # fixed-epoch alternative to ann polling (reference
+        # run_ann_dpr.py:179-211) — a DPR-trainer mode
+        if spec.loss != "dpr_inbatch":
+            raise SystemExit("--num_epoch is the DPR trainer's fixed-epoch "
+                             "mode; use --model_type dpr")
+        from ance_tpu.train.dpr_trainer import evaluate_dev, run_dpr_epochs
+        with TokenCache(args.data_dir + "/train-query") as qc, \
+                TokenCache(args.data_dir + "/passages") as pc:
+            dev_eval_fn = None
+            if args.dev_data:
+                def dev_eval_fn(params):
+                    return evaluate_dev(
+                        model, params, qc, pc, args.dev_data,
+                        batch_size=args.per_device_train_batch_size)
+            state, history = run_dpr_epochs(
+                state=state, train_step=step,
+                rng=jax.random.PRNGKey(args.seed),
+                params_of=lambda s: s.params,
+                query_cache=qc, passage_cache=pc,
+                train_data_path=args.data_dir + "/train-data",
+                num_epochs=args.num_epoch,
+                batch_size=args.per_device_train_batch_size,
+                shuffle_seed=args.seed, dev_eval_fn=dev_eval_fn,
+                checkpoint_dir=args.output_dir)
+        print(json.dumps(history))
+        return
+
+    if not args.ann_dir:
+        raise SystemExit("--ann_dir is required unless --num_epoch > 0")
     cycle_cfg = AnceCycleConfig(batch_size=args.per_device_train_batch_size,
                                 shuffle_seed=args.seed)
     triples_fn = sample_one_neg_triples if spec.loss == "dpr_inbatch" \
@@ -241,6 +288,7 @@ def cmd_ance_loop(args):
         topk_training=args.topk_training,
         negative_sample=args.negative_sample,
         ann_chunk_factor=args.ann_chunk_factor,
+        search_chunk_queries=args.search_chunk_queries,
         multichunk=spec.multichunk, shuffle_seed=args.seed)
     train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
     dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
@@ -464,9 +512,16 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_model_flags(p)
     _add_train_flags(p)
     p.add_argument("--data_dir", required=True)
-    p.add_argument("--ann_dir", required=True)
+    p.add_argument("--ann_dir", required=False, default=None)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--save_steps", type=int, default=10000)
+    p.add_argument("--num_epoch", type=int, default=0,
+                   help="DPR fixed-epoch mode: train this many epochs over "
+                        "{data_dir}/train-data instead of polling ann_dir "
+                        "(reference run_ann_dpr.py:179-191)")
+    p.add_argument("--dev_data", default=None,
+                   help="dev triples file for per-epoch NLL/accuracy eval "
+                        "(reference run_ann_dpr.py:196-211)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("ance-loop",
@@ -480,6 +535,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk_training", type=int, default=500)
     p.add_argument("--negative_sample", type=int, default=5)
     p.add_argument("--ann_chunk_factor", type=int, default=5)
+    p.add_argument("--search_chunk_queries", type=int, default=4096,
+                   help="queries per search work item (bounds the gap a "
+                        "search item inserts between train steps)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
     p.set_defaults(fn=cmd_ance_loop)
 

@@ -39,10 +39,15 @@ def reference_lamb(learning_rate: optax.ScalarOrSchedule,
                    b2: float = 0.999,
                    eps: float = 1e-6,
                    weight_decay: float = 0.0,
-                   adam: bool = False) -> optax.GradientTransformation:
+                   adam: bool = False,
+                   decay_mask=None) -> optax.GradientTransformation:
     """Build the GradientTransformation. Defaults match reference
     utils/lamb.py:45 (note eps default 1e-6 there; drivers pass
-    ``--adam_epsilon`` 1e-8)."""
+    ``--adam_epsilon`` 1e-8).
+
+    ``decay_mask``: callable params → pytree of bools; leaves marked False
+    skip weight decay (the reference's bias/LayerNorm no-decay grouping,
+    dpr_utils.py:80-92 / run_ann.py:58-78)."""
 
     def init_fn(params):
         mu = jax.tree.map(jnp.zeros_like, params)
@@ -60,9 +65,9 @@ def reference_lamb(learning_rate: optax.ScalarOrSchedule,
         lr = learning_rate(count - 1) if callable(learning_rate) \
             else learning_rate
 
-        def leaf_update(m, v, p):
+        def leaf_update(m, v, p, decay):
             adam_step = m / (jnp.sqrt(v) + eps)
-            if weight_decay != 0.0:
+            if weight_decay != 0.0 and decay:  # decay is a static bool
                 adam_step = adam_step + weight_decay * p
             weight_norm = jnp.clip(
                 jnp.sqrt(jnp.sum(jnp.square(p))), 0.0, 10.0)
@@ -74,10 +79,52 @@ def reference_lamb(learning_rate: optax.ScalarOrSchedule,
                 trust_ratio = 1.0
             return -lr * trust_ratio * adam_step
 
-        new_updates = jax.tree.map(leaf_update, mu, nu, params)
+        mask = decay_mask(params) if decay_mask is not None \
+            else jax.tree.map(lambda _: True, params)
+        new_updates = jax.tree.map(leaf_update, mu, nu, params, mask)
         return new_updates, LambState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def bias_layernorm_no_decay_mask(params):
+    """Decay mask excluding biases and every LayerNorm parameter (their
+    module names all contain 'norm'), matching the reference's no_decay
+    grouping on ["bias", "LayerNorm.weight"] (dpr_utils.py:80-92)."""
+    def decide(path, _leaf):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keys and keys[-1] == "bias":
+            return False
+        return not any("norm" in k.lower() for k in keys)
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def find_lamb_state(opt_state) -> LambState | None:
+    """Locate the LambState inside a (possibly chained) optax state tree."""
+    if isinstance(opt_state, LambState):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = find_lamb_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
+def trust_ratio_summary(opt_state, params, eps: float = 1e-6,
+                        weight_decay: float = 0.0) -> dict | None:
+    """min/mean/max of the per-leaf LAMB trust ratios — the in-loop
+    observability the reference plots as TB histograms (utils/lamb.py:11-22
+    log_lamb_rs). Returns None when the optimizer isn't LAMB."""
+    state = find_lamb_state(opt_state)
+    if state is None:
+        return None
+    ratios = jnp.stack(jax.tree.leaves(
+        lamb_trust_ratios(state, params, eps, weight_decay)))
+    ratios = jax.device_get(ratios)
+    return {"trust_ratio_min": float(ratios.min()),
+            "trust_ratio_mean": float(ratios.mean()),
+            "trust_ratio_max": float(ratios.max())}
 
 
 def lamb_trust_ratios(state: LambState, params, eps: float = 1e-6,

@@ -22,15 +22,18 @@ from ance_tpu.data.feed import gather_padded, parse_triple_line
 from ance_tpu.models import losses
 
 
-def biencoder_loss_fn(model) -> Callable:
+def biencoder_loss_fn(model, deterministic: bool = False) -> Callable:
     """loss(params, batch, rng) → (loss, correct_count) with positives at
-    even ctx indices."""
+    even ctx indices. ``deterministic=True`` disables dropout — the eval
+    path (reference runs dev under model.eval(), run_ann_dpr.py:266-306)."""
 
     def loss_fn(params, batch, dropout_rng):
-        rngs = {"dropout": dropout_rng}
+        # fresh dropout mask per tower (the reference's separate forwards
+        # each draw independent randomness)
+        q_rng, ctx_rng = jax.random.split(dropout_rng)
         q = model.apply({"params": params}, batch["query_ids"],
-                        batch["query_mask"], deterministic=False, rngs=rngs,
-                        method=model.query_emb)
+                        batch["query_mask"], deterministic=deterministic,
+                        rngs={"dropout": q_rng}, method=model.query_emb)
         B = batch["pos_ids"].shape[0]
         # interleave pos/neg: ctx[2i] = pos_i, ctx[2i+1] = neg_i
         ctx_ids = jnp.stack([batch["pos_ids"], batch["neg_ids"]],
@@ -38,8 +41,8 @@ def biencoder_loss_fn(model) -> Callable:
         ctx_mask = jnp.stack([batch["pos_mask"], batch["neg_mask"]],
                              axis=1).reshape(2 * B, -1)
         ctx = model.apply({"params": params}, ctx_ids, ctx_mask,
-                          deterministic=False, rngs=rngs,
-                          method=model.body_emb)
+                          deterministic=deterministic,
+                          rngs={"dropout": ctx_rng}, method=model.body_emb)
         positive_idx = jnp.arange(B) * 2
         loss, correct = losses.dpr_inbatch_loss(q, ctx, positive_idx)
         return loss, correct
@@ -76,19 +79,20 @@ def make_dpr_train_step(loss_fn: Callable, optimizer,
 
 
 def dpr_dev_batches(query_cache: TokenCache, passage_cache: TokenCache,
-                    dev_data_path: str, batch_size: int,
-                    seed: int = 0) -> Iterator[dict]:
-    """Dev triples (first hard negative per line after shuffle — reference
-    DPR_data.py:321-327 GetTripletTrainingDataProcessingFn shuffle) batched
-    for evaluate_dev; incomplete tail dropped."""
-    rs = np.random.RandomState(seed)
+                    dev_data_path: str, batch_size: int) -> Iterator[dict]:
+    """Dev triples batched for evaluate_dev; incomplete tail dropped.
+
+    Takes the FIRST hard negative per line: the reference dev loader runs
+    with shuffle=False (run_ann_dpr.py:276-281), so its
+    GetTripletTrainingDataProcessingFn random.shuffle never reorders the
+    deterministic dev pass's negatives-choice semantics."""
     rows = []
     with open(dev_data_path, encoding="utf-8") as f:
         for line in f:
             if not line.strip():
                 continue
             qid, pos, negs = parse_triple_line(line)
-            rows.append((qid, pos, negs[rs.randint(len(negs))]))
+            rows.append((qid, pos, negs[0]))
     rows = np.asarray(rows, dtype=np.int64)
     for s in range(0, rows.shape[0] - batch_size + 1, batch_size):
         r = rows[s:s + batch_size]
@@ -100,12 +104,55 @@ def dpr_dev_batches(query_cache: TokenCache, passage_cache: TokenCache,
                "neg_ids": n_ids, "neg_mask": n_mask}
 
 
+def run_dpr_epochs(*, state, train_step: Callable, rng, params_of: Callable,
+                   query_cache: TokenCache, passage_cache: TokenCache,
+                   train_data_path: str, num_epochs: int, batch_size: int,
+                   shuffle_seed: int = 42,
+                   dev_eval_fn: Optional[Callable] = None,
+                   checkpoint_dir: Optional[str] = None):
+    """Fixed-epoch DPR training — the reference's ``--num_epoch`` alternative
+    to ann-polling (run_ann_dpr.py:179-191), with dev NLL/accuracy evaluated
+    after every data epoch (run_ann_dpr.py:196-211).
+
+    Each epoch redraws one random hard negative per line (the shuffled
+    GetTripletTrainingDataProcessingFn semantics, DPR_data.py:321-327) and
+    reshuffles triple order. Returns (state, history)."""
+    from ance_tpu.data.feed import TripletBatches, sample_one_neg_triples
+    from ance_tpu.train import checkpoint as ckpt
+
+    with open(train_data_path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    history = []
+    for epoch in range(num_epochs):
+        triples = sample_one_neg_triples(lines, seed=shuffle_seed + epoch)
+        feed = TripletBatches(query_cache, passage_cache, triples,
+                              batch_size, seed=shuffle_seed)
+        last_loss = None
+        for batch in feed.epoch(epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            last_loss = metrics["loss"]
+        entry = {"epoch": epoch,
+                 "step": int(jax.device_get(state.step))}
+        if last_loss is not None:
+            entry["loss"] = float(jax.device_get(last_loss))
+        if dev_eval_fn is not None:
+            dev_nll, dev_ratio = dev_eval_fn(params_of(state))
+            entry["dev_nll"], entry["dev_correct_ratio"] = dev_nll, dev_ratio
+        history.append(entry)
+        if checkpoint_dir:
+            ckpt.save_checkpoint(checkpoint_dir, entry["step"],
+                                 params_of(state), opt_state=state.opt_state,
+                                 extra={"epoch": epoch})
+    return state, history
+
+
 def evaluate_dev(model, params, query_cache: TokenCache,
                  passage_cache: TokenCache, dev_data_path: str,
                  batch_size: int = 32) -> tuple[float, float]:
-    """Dev in-batch NLL + correct ratio
-    (reference run_ann_dpr.py:266-306 evaluate_dev)."""
-    loss_fn = biencoder_loss_fn(model)
+    """Dev in-batch NLL + correct ratio, dropout OFF
+    (reference run_ann_dpr.py:266-306 evaluate_dev under model.eval())."""
+    loss_fn = biencoder_loss_fn(model, deterministic=True)
     eval_fn = jax.jit(lambda p, b: loss_fn(p, b, jax.random.PRNGKey(0)))
     total_loss, total_correct, n_batches, n_q = 0.0, 0, 0, 0
     for batch in dpr_dev_batches(query_cache, passage_cache, dev_data_path,

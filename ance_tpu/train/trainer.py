@@ -40,14 +40,22 @@ class TrainState:
 
 def make_optimizer(name: str = "lamb", learning_rate=1e-4,
                    eps: float = 1e-8, weight_decay: float = 0.0,
-                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+                   max_grad_norm: float = 1.0,
+                   no_decay_bias_ln: bool = True
+                   ) -> optax.GradientTransformation:
     """Reference optimizer menu (run_ann.py:79-93): lamb | adamw, preceded by
-    global-norm clipping (run_ann.py:280-284)."""
+    global-norm clipping (run_ann.py:280-284). Biases and LayerNorms skip
+    weight decay by default (reference no_decay grouping,
+    dpr_utils.py:80-92 / run_ann.py:58-78)."""
+    from ance_tpu.optim.lamb import bias_layernorm_no_decay_mask
+    mask = bias_layernorm_no_decay_mask \
+        if (no_decay_bias_ln and weight_decay) else None
     if name.lower() == "lamb":
         inner = reference_lamb(learning_rate, eps=eps,
-                               weight_decay=weight_decay)
+                               weight_decay=weight_decay, decay_mask=mask)
     elif name.lower() == "adamw":
-        inner = optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay)
+        inner = optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay,
+                            mask=mask)
     else:
         raise ValueError(f"optimizer {name} not recognized! lamb or adamw")
     if max_grad_norm and max_grad_norm > 0:
@@ -65,18 +73,21 @@ def triplet_loss_fn(model, multichunk: bool = False) -> Callable:
     (NLL_MultiChunk) training."""
 
     def loss_fn(params, batch, dropout_rng):
-        rngs = {"dropout": dropout_rng}
+        # one subkey per encoder pass: pos and neg share shapes, so a shared
+        # key would give them IDENTICAL dropout masks (the reference's three
+        # forwards each draw fresh randomness)
+        q_rng, pos_rng, neg_rng = jax.random.split(dropout_rng, 3)
         q = model.apply({"params": params}, batch["query_ids"],
-                        batch["query_mask"], deterministic=False, rngs=rngs,
-                        method=model.query_emb)
+                        batch["query_mask"], deterministic=False,
+                        rngs={"dropout": q_rng}, method=model.query_emb)
         body_method = model.body_emb_multichunk if multichunk \
             else model.body_emb
         pos = model.apply({"params": params}, batch["pos_ids"],
-                          batch["pos_mask"], deterministic=False, rngs=rngs,
-                          method=body_method)
+                          batch["pos_mask"], deterministic=False,
+                          rngs={"dropout": pos_rng}, method=body_method)
         neg = model.apply({"params": params}, batch["neg_ids"],
-                          batch["neg_mask"], deterministic=False, rngs=rngs,
-                          method=body_method)
+                          batch["neg_mask"], deterministic=False,
+                          rngs={"dropout": neg_rng}, method=body_method)
         if multichunk:
             return losses.nll_multichunk_loss(q, pos, batch["pos_mask"],
                                               neg, batch["neg_mask"])

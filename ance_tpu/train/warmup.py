@@ -32,6 +32,8 @@ class WarmupConfig:
     checkpoint_dir: Optional[str] = None
     host_id: int = 0
     num_hosts: int = 1
+    log_trust_ratios: bool = False   # LAMB trust-ratio stats at eval points
+                                     # (reference lamb.py:11-22 log_lamb_rs)
 
 
 def run_warmup(cfg: WarmupConfig, *, state, train_step: Callable,
@@ -64,6 +66,13 @@ def run_warmup(cfg: WarmupConfig, *, state, train_step: Callable,
                     ckpt.save_checkpoint(cfg.checkpoint_dir, global_step,
                                          params_of(state),
                                          extra={"epoch": epoch})
+                if cfg.log_trust_ratios and cfg.eval_every and \
+                        global_step % cfg.eval_every == 0:
+                    from ance_tpu.optim.lamb import trust_ratio_summary
+                    summary = trust_ratio_summary(state.opt_state,
+                                                  params_of(state))
+                    if summary:
+                        history.append({"step": global_step, **summary})
                 if cfg.eval_every and eval_fn is not None and \
                         global_step % cfg.eval_every == 0:
                     rerank_mrr, full_mrr = eval_fn(params_of(state))

@@ -1,5 +1,7 @@
 """CLI surface: parser coverage + an end-to-end eval subcommand run."""
 
+import os
+
 import pytest
 
 from ance_tpu.cli import build_parser
@@ -25,6 +27,39 @@ def test_generate_parser_flags_match_reference_names():
         "--ann_measure_topk_mrr"])
     assert args.topk_training == 200 and args.negative_sample == 20
     assert args.ann_measure_topk_mrr
+
+
+def test_command_presets_parse_and_use_valid_flags():
+    """All 7 reference presets exist (commands/ parity with reference
+    commands/), each parses under bash -n, and every ance_tpu.cli invocation
+    inside uses only flags the target subparser actually defines."""
+    import re
+    import shlex
+    import subprocess
+    from ance_tpu.cli import build_parser
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cdir = os.path.join(repo, "commands")
+    presets = sorted(os.listdir(cdir))
+    assert {"run_train.sh", "run_ann_data_gen.sh", "run_train_warmup.sh",
+            "data_download.sh", "run_train_dpr.sh",
+            "run_ann_data_gen_dpr.sh", "run_inference.sh"} <= set(presets)
+
+    sub_actions = build_parser()._subparsers._group_actions[0].choices
+    for preset in presets:
+        path = os.path.join(cdir, preset)
+        assert subprocess.run(["bash", "-n", path]).returncode == 0, preset
+        text = open(path).read()
+        for m in re.finditer(
+                r"python -m ance_tpu\.cli (\S+)((?:.|\\\n)*?)(?:\n[a-z#]|\Z)",
+                text):
+            sub = m.group(1)
+            assert sub in sub_actions, f"{preset}: unknown subcommand {sub}"
+            valid = {opt for a in sub_actions[sub]._actions
+                     for opt in a.option_strings}
+            used = set(re.findall(r"(--[a-z_]+)", m.group(2)))
+            unknown = used - valid
+            assert not unknown, f"{preset} {sub}: unknown flags {unknown}"
 
 
 def test_eval_subcommand(tmp_path, capsys):

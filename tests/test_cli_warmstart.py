@@ -1,0 +1,115 @@
+"""CLI warm-start dispatch (ADVICE r1, medium): each model family must route
+through its own torch→flax mapping, and structural mismatches must raise
+instead of silently leaving random init behind."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ance_tpu.cli import _warm_start_params
+from ance_tpu.models.dot_models import BiEncoder, RobertaDot
+from ance_tpu.models.registry import get_model_spec
+from ance_tpu.models.transformer import EncoderConfig
+
+VOCAB, HID, LAYERS, HEADS, FFN = 32, 8, 2, 2, 16
+
+
+def _hf_encoder_sd(rs, prefix, max_pos=20, type_vocab=2):
+    def t(*shape):
+        return torch.tensor(rs.randn(*shape).astype(np.float32) * 0.05)
+    sd = {
+        prefix + "embeddings.word_embeddings.weight": t(VOCAB, HID),
+        prefix + "embeddings.position_embeddings.weight": t(max_pos, HID),
+        prefix + "embeddings.token_type_embeddings.weight": t(type_vocab, HID),
+        prefix + "embeddings.LayerNorm.weight": t(HID) + 1.0,
+        prefix + "embeddings.LayerNorm.bias": t(HID),
+    }
+    for i in range(LAYERS):
+        lp = f"{prefix}encoder.layer.{i}."
+        for name, dout, din in (
+                ("attention.self.query", HID, HID),
+                ("attention.self.key", HID, HID),
+                ("attention.self.value", HID, HID),
+                ("attention.output.dense", HID, HID),
+                ("intermediate.dense", FFN, HID),
+                ("output.dense", HID, FFN)):
+            sd[lp + name + ".weight"] = t(dout, din)
+            sd[lp + name + ".bias"] = t(dout)
+        for name in ("attention.output.LayerNorm", "output.LayerNorm"):
+            sd[lp + name + ".weight"] = t(HID) + 1.0
+            sd[lp + name + ".bias"] = t(HID)
+    return sd
+
+
+def _tiny_bert_cfg():
+    return EncoderConfig.bert_base(
+        vocab_size=VOCAB, hidden_size=HID, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=FFN, max_position_embeddings=20,
+        hidden_dropout=0.0, attention_dropout=0.0)
+
+
+def _tiny_roberta_cfg():
+    return EncoderConfig(
+        vocab_size=VOCAB, hidden_size=HID, num_layers=LAYERS,
+        num_heads=HEADS, intermediate_size=FFN, max_position_embeddings=20,
+        type_vocab_size=1, hidden_dropout=0.0, attention_dropout=0.0)
+
+
+def _init(model):
+    ids = jnp.ones((2, 6), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+
+
+def test_dpr_warmstart_routes_to_biencoder_mapping(tmp_path):
+    rs = np.random.RandomState(0)
+    sd = {}
+    for tower in ("question_model", "ctx_model"):
+        sd.update(_hf_encoder_sd(rs, tower + "."))
+    torch.save({"model_dict": sd, "optimizer_dict": {}},
+               tmp_path / "pytorch_model.bin")
+
+    params = _init(BiEncoder(_tiny_bert_cfg()))
+    out = _warm_start_params(get_model_spec("dpr"), params, str(tmp_path))
+    got = out["question_model"]["encoder"]["embeddings"][
+        "word_embeddings"]["embedding"]
+    want = sd["question_model.embeddings.word_embeddings.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+    # ctx tower differs from question tower (independent params grafted)
+    got_ctx = out["ctx_model"]["encoder"]["embeddings"][
+        "word_embeddings"]["embedding"]
+    assert not np.allclose(np.asarray(got_ctx), want)
+
+
+def test_rdot_warmstart_keeps_fresh_head(tmp_path):
+    rs = np.random.RandomState(1)
+    sd = _hf_encoder_sd(rs, "roberta.", type_vocab=1)
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+
+    model = RobertaDot(_tiny_roberta_cfg(), out_dim=4)
+    params = _init(model)
+    head_before = np.asarray(params["embedding_head"]["kernel"])
+    out = _warm_start_params(get_model_spec("rdot_nll"), params,
+                             str(tmp_path))
+    got = out["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+    np.testing.assert_allclose(
+        np.asarray(got), sd["roberta.embeddings.word_embeddings.weight"].numpy())
+    # no embeddingHead in the checkpoint → init head kept
+    np.testing.assert_array_equal(np.asarray(out["embedding_head"]["kernel"]),
+                                  head_before)
+
+
+def test_dpr_checkpoint_into_rdot_raises(tmp_path):
+    """The pre-fix behavior silently grafted garbage; now it must raise."""
+    rs = np.random.RandomState(2)
+    sd = {}
+    for tower in ("question_model", "ctx_model"):
+        sd.update(_hf_encoder_sd(rs, tower + "."))
+    torch.save({"model_dict": sd}, tmp_path / "pytorch_model.bin")
+
+    model = RobertaDot(_tiny_roberta_cfg(), out_dim=4)
+    params = _init(model)
+    with pytest.raises(KeyError):
+        _warm_start_params(get_model_spec("rdot_nll"), params, str(tmp_path))

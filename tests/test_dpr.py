@@ -18,7 +18,7 @@ from ance_tpu.optim.schedules import warmup_linear
 from ance_tpu.train.dpr_gen import (
     mine_negatives_dpr, validate, write_dpr_ann_data)
 from ance_tpu.train.dpr_trainer import (
-    biencoder_loss_fn, evaluate_dev, make_dpr_train_step)
+    biencoder_loss_fn, dpr_dev_batches, evaluate_dev, make_dpr_train_step)
 from ance_tpu.train.trainer import init_train_state, make_optimizer
 
 
@@ -193,3 +193,74 @@ def test_dpr_inbatch_training_learns(tmp_path):
         nll, ratio = evaluate_dev(model, state.params, qc, pc,
                                   out + "/train-data", batch_size=2)
         assert nll >= 0.0 and 0.0 <= ratio <= 1.0
+
+
+def test_evaluate_dev_is_deterministic(tmp_path):
+    """ADVICE r1 (medium): dev eval ran with dropout ON. With dropout in the
+    config, repeated evals must now agree exactly, and differ from the
+    dropout-on loss path."""
+    cfg = _write_dpr_raw(tmp_path)
+    preprocess_dpr(cfg, make_fake_bert_tokenizer)
+    out = cfg.out_data_dir
+    enc_cfg = EncoderConfig.bert_base(
+        vocab_size=520, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=32,
+        hidden_dropout=0.3, attention_dropout=0.3)  # dropout ACTIVE
+    model = BiEncoder(enc_cfg)
+    L = 24
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    with TokenCache(out + "/train-query") as qc, \
+            TokenCache(out + "/passages") as pc:
+        a = evaluate_dev(model, params, qc, pc, out + "/train-data",
+                         batch_size=2)
+        b = evaluate_dev(model, params, qc, pc, out + "/train-data",
+                         batch_size=2)
+        assert a == b
+        # the training loss path (deterministic=False) draws dropout: two
+        # different rngs give different losses on the same batch
+        loss_fn = biencoder_loss_fn(model)
+        batch = next(iter(dpr_dev_batches(qc, pc, out + "/train-data", 2)))
+        l1, _ = loss_fn(params, batch, jax.random.PRNGKey(1))
+        l2, _ = loss_fn(params, batch, jax.random.PRNGKey(2))
+        assert float(l1) != float(l2)
+
+
+def test_dpr_fixed_epoch_mode(tmp_path):
+    """--num_epoch path (reference run_ann_dpr.py:179-211): fixed data
+    epochs, per-epoch dev eval, per-epoch checkpoints."""
+    from ance_tpu.train.dpr_trainer import run_dpr_epochs
+    from ance_tpu.train import checkpoint as ckpt
+
+    cfg = _write_dpr_raw(tmp_path)
+    preprocess_dpr(cfg, make_fake_bert_tokenizer)
+    out = cfg.out_data_dir
+    model = _tiny_biencoder()
+    L = 24
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    opt = make_optimizer("adamw", warmup_linear(5e-4, 5, 5000))
+    state = init_train_state(params, opt)
+    step = make_dpr_train_step(biencoder_loss_fn(model), opt)
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    with TokenCache(out + "/train-query") as qc, \
+            TokenCache(out + "/passages") as pc:
+        def dev_eval_fn(p):
+            return evaluate_dev(model, p, qc, pc, out + "/train-data",
+                                batch_size=2)
+        state, history = run_dpr_epochs(
+            state=state, train_step=step, rng=jax.random.PRNGKey(1),
+            params_of=lambda s: s.params, query_cache=qc, passage_cache=pc,
+            train_data_path=out + "/train-data", num_epochs=3, batch_size=2,
+            dev_eval_fn=dev_eval_fn, checkpoint_dir=ckpt_dir)
+    assert [h["epoch"] for h in history] == [0, 1, 2]
+    assert all("dev_nll" in h and "dev_correct_ratio" in h for h in history)
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert int(jax.device_get(state.step)) == history[-1]["step"] > 0
+    # per-epoch checkpoints exist and are complete
+    path, step_no = ckpt.get_latest_checkpoint(ckpt_dir)
+    assert path is not None and ckpt.is_complete(path)
+    assert step_no == history[-1]["step"]

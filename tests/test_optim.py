@@ -77,6 +77,71 @@ def test_lamb_zero_param_trust_ratio_is_one():
     np.testing.assert_allclose(np.asarray(updates["z"]), expect, rtol=1e-5)
 
 
+def _norm_tree():
+    rs = np.random.RandomState(3)
+    return {
+        "dense": {"kernel": jnp.asarray(rs.randn(8, 4), jnp.float32),
+                  "bias": jnp.asarray(rs.randn(4), jnp.float32)},
+        "layer_norm": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        "attention_layer_norm": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+    }
+
+
+def test_no_decay_mask_excludes_bias_and_layernorm():
+    from ance_tpu.optim.lamb import bias_layernorm_no_decay_mask
+    mask = bias_layernorm_no_decay_mask(_norm_tree())
+    assert mask == {
+        "dense": {"kernel": True, "bias": False},
+        "layer_norm": {"scale": False, "bias": False},
+        "attention_layer_norm": {"scale": False, "bias": False},
+    }
+
+
+@pytest.mark.parametrize("name", ["lamb", "adamw"])
+def test_optimizer_no_decay_grouping(name):
+    """Reference dpr_utils.py:80-92 grouping: weight decay must act on the
+    dense kernel but leave bias/LayerNorm updates identical to wd=0."""
+    from ance_tpu.train.trainer import make_optimizer
+    params = _norm_tree()
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.01), params)
+
+    def one_update(wd):
+        opt = make_optimizer(name, 1e-3, weight_decay=wd, max_grad_norm=0.0)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        return updates
+
+    u0, u1 = one_update(0.0), one_update(0.1)
+    # decayed: kernel update changes with wd
+    assert not np.allclose(np.asarray(u0["dense"]["kernel"]),
+                           np.asarray(u1["dense"]["kernel"]))
+    # no-decay leaves: identical regardless of wd
+    for mod, leaf in (("dense", "bias"), ("layer_norm", "scale"),
+                      ("layer_norm", "bias"),
+                      ("attention_layer_norm", "scale")):
+        np.testing.assert_allclose(np.asarray(u0[mod][leaf]),
+                                   np.asarray(u1[mod][leaf]), rtol=1e-6,
+                                   err_msg=f"{mod}/{leaf} was decayed")
+
+
+def test_trust_ratio_summary_for_lamb_only():
+    from ance_tpu.train.trainer import make_optimizer
+    from ance_tpu.optim.lamb import trust_ratio_summary
+    params = _norm_tree()
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.01), params)
+
+    opt = make_optimizer("lamb", 1e-3)
+    state = opt.init(params)
+    _, state = opt.update(grads, state, params)
+    summary = trust_ratio_summary(state, params)
+    assert set(summary) == {"trust_ratio_min", "trust_ratio_mean",
+                            "trust_ratio_max"}
+    assert 0 < summary["trust_ratio_min"] <= summary["trust_ratio_max"]
+
+    adamw = make_optimizer("adamw", 1e-3)
+    assert trust_ratio_summary(adamw.init(params), params) is None
+
+
 def test_warmup_linear_schedule():
     s = warmup_linear(1.0, warmup_steps=10, total_steps=110)
     assert float(s(0)) == 0.0
