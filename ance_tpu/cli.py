@@ -121,11 +121,14 @@ def _warm_start_params(spec, params, model_dir):
 def _make_training(args, model, spec):
     import jax
     import jax.numpy as jnp
-    from ance_tpu.core.mesh import make_mesh
+    from ance_tpu.core.mesh import initialize_distributed, make_mesh
     from ance_tpu.optim.schedules import warmup_cosine, warmup_linear
     from ance_tpu.train.trainer import (
         init_train_state, make_optimizer, make_train_step, triplet_loss_fn)
 
+    host_id, num_hosts = initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes, process_id=args.process_id)
     sched_fn = warmup_cosine if args.lr_style == "cosine" else warmup_linear
     schedule = sched_fn(args.learning_rate, args.warmup_steps, args.max_steps)
     opt = make_optimizer(args.optimizer, schedule, eps=args.adam_epsilon,
@@ -150,7 +153,7 @@ def _make_training(args, model, spec):
         step = make_train_step(
             triplet_loss_fn(model, multichunk=spec.multichunk), opt,
             accum_steps=args.gradient_accumulation_steps, mesh=mesh)
-    return state, step, mesh
+    return state, step, mesh, (host_id, num_hosts)
 
 
 def _add_train_flags(p):
@@ -168,13 +171,21 @@ def _add_train_flags(p):
     p.add_argument("--data_parallel", action="store_true", default=True)
     p.add_argument("--no_data_parallel", dest="data_parallel",
                    action="store_false")
+    # multi-host bring-up (replaces torch.distributed.launch env plumbing,
+    # reference run_ann.py:603-646); on TPU pods jax discovers the topology
+    # and these can stay unset
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (off-TPU multi-process)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
 
 
 def cmd_warmup(args):
     import jax
     from ance_tpu.train.warmup import WarmupConfig, run_warmup
     spec, model = _build_model(args)
-    state, step, _ = _make_training(args, model, spec)
+    state, step, _, (host_id, num_hosts) = _make_training(args, model,
+                                                          spec)
     tokenizer = _tokenizer_factory(spec.tokenizer_name,
                                    args.model_name_or_path)()
 
@@ -203,7 +214,8 @@ def cmd_warmup(args):
                        max_steps=args.max_steps,
                        save_steps=args.save_steps,
                        eval_every=args.eval_steps,
-                       checkpoint_dir=args.output_dir)
+                       checkpoint_dir=args.output_dir,
+                       host_id=host_id, num_hosts=num_hosts)
     state, history = run_warmup(cfg, state=state, train_step=step,
                                 tokenizer=tokenizer,
                                 triples_path=args.train_file,
@@ -218,7 +230,8 @@ def cmd_train(args):
     from ance_tpu.data.feed import expand_triples, sample_one_neg_triples
     from ance_tpu.train.ance_loop import AnceCycleConfig, run_trainer_job
     spec, model = _build_model(args)
-    state, step, _ = _make_training(args, model, spec)
+    state, step, mesh, (host_id, num_hosts) = _make_training(args, model,
+                                                             spec)
 
     if args.num_epoch > 0:
         # fixed-epoch alternative to ann polling (reference
@@ -254,6 +267,11 @@ def cmd_train(args):
                                 shuffle_seed=args.seed)
     triples_fn = sample_one_neg_triples if spec.loss == "dpr_inbatch" \
         else expand_triples
+    batch_transform = None
+    if mesh is not None and num_hosts > 1:
+        from ance_tpu.core.mesh import shard_batch
+        def batch_transform(b):
+            return shard_batch(b, mesh)
     with TokenCache(args.data_dir + "/train-query") as qc, \
             TokenCache(args.data_dir + "/passages") as pc:
         run_trainer_job(cycle_cfg, state=state, train_step=step,
@@ -262,7 +280,9 @@ def cmd_train(args):
                         query_cache=qc, passage_cache=pc,
                         ann_dir=args.ann_dir, training_dir=args.output_dir,
                         max_steps=args.max_steps,
-                        save_every=args.save_steps, triples_fn=triples_fn)
+                        save_every=args.save_steps, triples_fn=triples_fn,
+                        host_id=host_id, num_hosts=num_hosts,
+                        batch_transform=batch_transform)
 
 
 def cmd_ance_loop(args):
@@ -275,7 +295,7 @@ def cmd_ance_loop(args):
     from ance_tpu.train import checkpoint as ckpt
 
     spec, model = _build_model(args)
-    state, step, mesh = _make_training(args, model, spec)
+    state, step, mesh, _hosts = _make_training(args, model, spec)
     body_method = type(model).body_emb_multichunk if spec.multichunk \
         else type(model).body_emb
     qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)

@@ -58,8 +58,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Mapping[str, np.ndarray], mesh: Mesh,
                 axis: str = DATA_AXIS) -> dict:
-    """device_put each array with its leading dim split over the data axis."""
+    """Assemble per-host batches into global arrays split over the data axis.
+
+    Single process: a plain device_put. Multi-process (multi-host): each
+    process passes its HOST-LOCAL rows (the feed's host_id/num_hosts stripe,
+    replacing the reference's StreamingDataset rank striping util.py:310-329)
+    and the global array is assembled process-locally — global row order is
+    [host0 rows; host1 rows; ...] following mesh device order."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 

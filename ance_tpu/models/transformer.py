@@ -47,6 +47,10 @@ class EncoderConfig:
                                       # batch sizes scale past activation
                                       # memory — the TPU counterpart of the
                                       # memory tricks apex provides on GPU)
+    fp32_layernorm: bool = True       # residual LayerNorms accumulate in fp32
+                                      # (torch parity); False keeps the
+                                      # residual stream in compute dtype —
+                                      # fewer HBM cast round-trips on TPU
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -150,15 +154,22 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, deterministic: bool = True):
         cfg = self.config
+
+        def ln(name, y):
+            # Post-LN residual structure (BERT); fp32 accumulation by default
+            if cfg.fp32_layernorm:
+                return nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, use_fast_variance=False,
+                    name=name)(y.astype(jnp.float32)).astype(cfg.dtype)
+            return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                use_fast_variance=False, dtype=cfg.dtype,
+                                name=name)(y)
+
         attn = SelfAttention(cfg, name="attention")(
             x, attention_mask, deterministic)
-        # Post-LN residual structure (BERT); LayerNorm accumulates in fp32.
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False,
-                         name="attention_layer_norm")(
-            (x + attn).astype(jnp.float32)).astype(cfg.dtype)
+        x = ln("attention_layer_norm", x + attn)
         mlp = Mlp(cfg, name="mlp")(x, deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="output_layer_norm")(
-            (x + mlp).astype(jnp.float32)).astype(cfg.dtype)
+        x = ln("output_layer_norm", x + mlp)
         return x
 
 

@@ -180,13 +180,18 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     save_every: int = 500,
                     poll_interval: float = 5.0,
                     triples_fn: Callable = expand_triples,
-                    metrics_logger=None) -> object:
+                    metrics_logger=None,
+                    host_id: int = 0, num_hosts: int = 1,
+                    batch_transform: Optional[Callable] = None) -> object:
     """Train forever, polling ``ann_dir`` for fresh data every ``poll_every``
     steps and checkpointing every ``save_every``
     (reference run_ann.py:180-334).
 
     ``triples_fn``: lines → [T, 3] triples; pass
-    :func:`ance_tpu.data.feed.sample_one_neg_triples` for the DPR feed."""
+    :func:`ance_tpu.data.feed.sample_one_neg_triples` for the DPR feed.
+    On multi-host meshes pass this process's ``host_id``/``num_hosts`` (the
+    feed stripes triples per host) and ``batch_transform`` assembling local
+    rows into global arrays (:func:`ance_tpu.core.mesh.shard_batch`)."""
     last_data_no = -1
     it = None
     step_count = int(jax.device_get(state.step))
@@ -198,7 +203,8 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                 feed = TripletBatches(
                     query_cache, passage_cache, triples_fn(lines),
                     batch_size=cycle_cfg.batch_size,
-                    seed=cycle_cfg.shuffle_seed + data_no)
+                    seed=cycle_cfg.shuffle_seed + data_no,
+                    host_id=host_id, num_hosts=num_hosts)
                 it = infinite_batches(feed)
                 last_data_no = data_no
                 logger.info("trainer: switched to ann data %s", data_no)
@@ -213,7 +219,10 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                 time.sleep(poll_interval)
                 continue
         rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, next(it), sub)
+        batch = next(it)
+        if batch_transform is not None:
+            batch = batch_transform(batch)
+        state, metrics = train_step(state, batch, sub)
         step_count = int(jax.device_get(state.step))
         if metrics_logger is not None and step_count % poll_every == 0:
             metrics_logger.log(step_count, loss=float(metrics["loss"]))
