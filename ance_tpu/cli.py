@@ -56,7 +56,10 @@ def _add_common_model_flags(p):
     p.add_argument("--max_query_length", type=int, default=64)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 encoder compute (recommended on TPU)")
-    p.add_argument("--attention", default="xla", choices=["xla", "flash"])
+    p.add_argument("--attention", default="auto",
+                   choices=["auto", "xla", "fused", "flash"],
+                   help="auto picks by measured crossover: xla < seq 256, "
+                        "fused 256-1024, flash beyond")
 
 
 def _build_model(args):

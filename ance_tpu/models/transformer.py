@@ -37,7 +37,8 @@ class EncoderConfig:
     initializer_range: float = 0.02
     position_style: str = "roberta"  # "roberta" | "bert"
     dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 on TPU)
-    attention_impl: str = "xla"      # "xla" | "flash"
+    attention_impl: str = "auto"     # auto | xla | fused | flash (see
+                                     # ops.attention.multi_head_attention)
     use_type_embeddings: bool = True  # SEED/fairseq: num_segments=0 → False
     embed_zero_pad: bool = False      # SEED: zero embeddings at pad positions
                                       # (reference transformer_sentence_encoder

@@ -1,17 +1,25 @@
-"""Headline benchmark: corpus-encoding throughput on the real TPU chip.
+"""Headline benchmark: corpus-encoding throughput on the real TPU chip,
+with measured MFU, train-step latency, and search QPS as extra fields.
 
 ANCE's stated efficiency bottleneck is the encoding update, not ANN search
 (reference README.md:21-24), so the headline metric is passages encoded per
 second with the flagship FirstP encoder (roberta-base geometry, bf16,
 seq 128 — the reference's passage config, commands/run_train.sh:30-36).
 
-Baseline for ``vs_baseline``: the reference trains/encodes on 4×V100 fp16
-(commands/run_train.sh:25-40). A V100 sustains roughly 500 passages/s at
-seq 128 for roberta-base inference under apex O1 (~25% of 112 TF/s peak on
-the ~170 GFLOP/passage forward), giving ~2000 passages/s for the 4-GPU job.
-``vs_baseline = ours / 2000``.
+FLOP accounting (matches docs/DESIGN.md): the encoder's MXU work is
+12 layers x 24·H² matmul FLOPs per token (QKV+out = 8H², FFN = 16H²)
+= 169.9 MFLOP/token x 128 tokens = 21.8 GFLOP/passage (attention score
+matmuls add ~0.5% at seq 128 and are excluded). MFU = achieved matmul
+FLOP/s over the chip's bf16 peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline for ``vs_baseline``: the reference runs 4xV100 fp16
+(commands/run_train.sh:25-40) on HF transformers 2.3.0 + apex O1 — vanilla
+torch inference, no TensorRT/fusion, which sustains roughly 18-22 TF/s
+effective on a 112 TF/s V100 (~18% MFU; consistent with commonly reported
+~1000 seq/s for BERT-base at seq 128). That gives ~1000 passages/s per GPU,
+~4000 passages/s for the 4-GPU job. ``vs_baseline = ours / 4000``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", + extras}.
 """
 
 import json
@@ -19,27 +27,39 @@ import time
 
 import numpy as np
 
-BASELINE_PASSAGES_PER_SEC = 2000.0  # 4×V100 fp16 estimate, see docstring
+BASELINE_PASSAGES_PER_SEC = 4000.0  # 4xV100 fp16 estimate, see docstring
+GFLOP_PER_PASSAGE = 21.8
 SEQ = 128
 BATCH = 256
-STEPS = 8
+STEPS = 10
+
+# bf16 peak matmul throughput by device kind (TF/s)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
-def main():
-    import jax
+def _materialize(x):
+    """Force full execution — on the remote-attached TPU, block_until_ready
+    alone returns before execution finishes."""
     import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+def bench_encode(jax, jnp, on_tpu):
     from ance_tpu.models.dot_models import RobertaDot
     from ance_tpu.models.transformer import EncoderConfig
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform not in ("cpu",)
     cfg = EncoderConfig(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     model = RobertaDot(cfg, out_dim=768)
-
     rs = np.random.RandomState(0)
     ids = jnp.asarray(rs.randint(4, 50000, (BATCH, SEQ)), jnp.int32)
     mask = jnp.ones((BATCH, SEQ), jnp.int32)
-
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids[:2], mask[:2]
                                  )["params"]
 
@@ -48,24 +68,100 @@ def main():
         return model.apply({"params": params}, ids, mask,
                            method=model.body_emb)
 
-    import jax.numpy as _jnp
-    float(_jnp.sum(encode(params, ids, mask)))  # compile + materialize
+    _materialize(encode(params, ids, mask))  # compile
     t0 = time.perf_counter()
     out = None
     for _ in range(STEPS):
         out = encode(params, ids, mask)
-    # force full materialization — on the remote-attached TPU,
-    # block_until_ready alone returns before execution finishes
-    float(_jnp.sum(out))
+    _materialize(out)
     dt = time.perf_counter() - t0
-
     pps = BATCH * STEPS / dt
-    print(json.dumps({
+    return pps, pps * GFLOP_PER_PASSAGE / 1000.0  # passages/s, TF/s
+
+
+def bench_train_step(jax, jnp, on_tpu):
+    """FirstP triplet step (3 encoder passes fwd+bwd, LAMB, clip)."""
+    from ance_tpu.models.dot_models import RobertaDot
+    from ance_tpu.models.transformer import EncoderConfig
+    from ance_tpu.optim.schedules import warmup_linear
+    from ance_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step, triplet_loss_fn)
+
+    B, QLEN, PLEN = (64, 64, 128) if on_tpu else (8, 16, 32)
+    cfg = EncoderConfig(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    model = RobertaDot(cfg, out_dim=768)
+    rs = np.random.RandomState(0)
+    batch = {
+        "query_ids": jnp.asarray(rs.randint(4, 50000, (B, QLEN)), jnp.int32),
+        "query_mask": jnp.ones((B, QLEN), jnp.int32),
+        "pos_ids": jnp.asarray(rs.randint(4, 50000, (B, PLEN)), jnp.int32),
+        "pos_mask": jnp.ones((B, PLEN), jnp.int32),
+        "neg_ids": jnp.asarray(rs.randint(4, 50000, (B, PLEN)), jnp.int32),
+        "neg_mask": jnp.ones((B, PLEN), jnp.int32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, QLEN), jnp.int32),
+                                 jnp.ones((2, QLEN), jnp.int32))["params"]
+    opt = make_optimizer("lamb", warmup_linear(1e-4, 10, 1000))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model), opt)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    _materialize(m["loss"])  # compile
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    _materialize(m["loss"])
+    return (time.perf_counter() - t0) / reps * 1000.0, B  # ms, batch
+
+
+def bench_search(jax, jnp, on_tpu):
+    """Exact top-k over the corpus (bf16 index, fused blockmax on TPU)."""
+    from ance_tpu.index.flat import FlatIPIndex
+
+    n, d, q, k = (1_000_000, 768, 512, 10) if on_tpu else (20_000, 128, 64, 10)
+    rs = np.random.RandomState(1)
+    corpus = rs.randn(n, d).astype(np.float32)
+    queries = rs.randn(q, d).astype(np.float32)
+    index = FlatIPIndex(dim=d, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    index.add(corpus)
+    s, _ = index.search(queries, k=k)
+    _materialize(s)  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s, _ = index.search(queries, k=k)
+    _materialize(s)
+    return q * reps / (time.perf_counter() - t0), n  # qps, corpus size
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform not in ("cpu",)
+    kind = getattr(dev, "device_kind", "unknown")
+
+    pps, tflops = bench_encode(jax, jnp, on_tpu)
+    train_ms, train_b = bench_train_step(jax, jnp, on_tpu)
+    search_qps, corpus_n = bench_search(jax, jnp, on_tpu)
+
+    peak = PEAK_TFLOPS.get(kind)
+    out = {
         "metric": "firstp_encode_throughput",
         "value": round(pps, 1),
         "unit": "passages/sec",
         "vs_baseline": round(pps / BASELINE_PASSAGES_PER_SEC, 3),
-    }))
+        "device": kind,
+        "encode_tflops": round(tflops, 1),
+        "encode_mfu": round(tflops / peak, 3) if peak else None,
+        "train_step_ms": round(train_ms, 1),
+        "train_batch": train_b,
+        "search_qps": round(search_qps, 1),
+        "search_corpus": corpus_n,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
