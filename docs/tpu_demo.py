@@ -160,7 +160,8 @@ def main():
          **{k: round(v, 4) if isinstance(v, float) else v
             for k, v in loop.history[-1].items()}})
 
-    TOTAL = 3640  # 13 slices/refresh × 8 steps → 35 full refreshes
+    TOTAL = 3640  # ~19 work items/refresh (13 E + dev/mine/finalize items)
+                  # × 8 steps → ~24 full refreshes
     done = 0
     while done < TOTAL:
         t0 = time.time()
