@@ -312,9 +312,13 @@ def cmd_ance_loop(args):
         negative_sample=args.negative_sample,
         ann_chunk_factor=args.ann_chunk_factor,
         search_chunk_queries=args.search_chunk_queries,
-        multichunk=spec.multichunk, shuffle_seed=args.seed)
+        multichunk=spec.multichunk, shuffle_seed=args.seed,
+        checkpoint_dir=args.output_dir, save_every=args.save_steps,
+        log_trust_ratios=args.log_trust_ratios)
     train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
     dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
+    from ance_tpu.utils.observability import MetricsLogger
+    metrics = MetricsLogger(os.path.join(args.output_dir, "refresh.jsonl"))
     with TokenCache(args.data_dir + "/passages") as pc, \
             TokenCache(args.data_dir + "/train-query") as tq, \
             TokenCache(args.data_dir + "/dev-query") as dq:
@@ -324,11 +328,16 @@ def cmd_ance_loop(args):
             params_of=lambda s: s.params,
             query_encode_fn=qfn, body_encode_fn=bfn,
             passage_cache=pc, train_query_cache=tq, dev_query_cache=dq,
-            train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh)
-        loop.run(args.max_steps)
+            train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh,
+            metrics_logger=metrics)
+        resumed = loop.resume()
+        remaining = max(0, args.max_steps - resumed)
+        loop.run(remaining)
         ckpt.save_checkpoint(args.output_dir,
                              int(jax.device_get(loop.state.step)),
-                             loop.state.params)
+                             loop.state.params,
+                             opt_state=loop.state.opt_state)
+    metrics.close()
     print(json.dumps(loop.history[-3:]))
 
 
@@ -562,6 +571,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="queries per search work item (bounds the gap a "
                         "search item inserts between train steps)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="mid-run checkpoint cadence (0 = at refresh "
+                        "boundaries only); restarts resume automatically")
+    p.add_argument("--log_trust_ratios", action="store_true",
+                   help="LAMB trust-ratio stats in each refresh entry")
     p.set_defaults(fn=cmd_ance_loop)
 
     for name, inference in (("generate", False), ("infer", True)):

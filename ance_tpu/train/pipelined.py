@@ -72,6 +72,9 @@ class PipelineConfig:
     shuffle_seed: int = 42
     log_trust_ratios: bool = False     # LAMB trust-ratio stats per refresh
                                        # (reference lamb.py:11-22 log_lamb_rs)
+    checkpoint_dir: Optional[str] = None
+    save_every: int = 0                # steps between mid-run checkpoints
+                                       # (0 = refresh boundaries only)
 
 
 class PipelinedAnce:
@@ -85,7 +88,7 @@ class PipelinedAnce:
                  dev_query_cache: TokenCache,
                  train_qrels: Mapping[int, Mapping[int, int]],
                  dev_qrels: Mapping[int, Mapping[int, int]],
-                 mesh=None):
+                 mesh=None, metrics_logger=None):
         self.cfg = cfg
         self.state = state
         self.train_step = train_step
@@ -99,8 +102,10 @@ class PipelinedAnce:
                                for q, r in train_qrels.items() if r}
         self.dev_qrels = dev_qrels
         self.mesh = mesh
+        self.metrics_logger = metrics_logger
         self.index: Optional[FlatIPIndex] = None
         self.refresh_no = 0
+        self._refresh_t0 = time.perf_counter()
         self.snapshot = self._snapshot_params()
         self._batches = None
         self.history: list[dict] = []
@@ -221,8 +226,17 @@ class PipelinedAnce:
                                           self.params_of(self.state))
             if summary:
                 entry.update(summary)
+        entry["refresh_sec"] = round(
+            time.perf_counter() - self._refresh_t0, 2)
+        self._refresh_t0 = time.perf_counter()
         logger.info("pipelined refresh %s", entry)
+        if self.metrics_logger is not None:
+            self.metrics_logger.log(entry["step"], **{
+                k: v for k, v in entry.items()
+                if isinstance(v, (int, float))})
         self.history.append(entry)
+        if cfg.checkpoint_dir:
+            self._save_checkpoint()
         self.refresh_no += 1
         self._cyc.pop("tq_emb", None)
         self._cyc.pop("tq_ids", None)
@@ -261,6 +275,47 @@ class PipelinedAnce:
                                           n_tq), i)))
         work.append(("F", self._finalize_refresh))
 
+    def _save_checkpoint(self) -> None:
+        """Params + optimizer state + refresh counter — enough for an
+        idempotent restart (resume() re-bootstraps mining from the restored
+        params; the reference's recovery is likewise regenerate-on-restart,
+        run_ann_data_gen.py:663-666)."""
+        from ance_tpu.train import checkpoint as ckpt
+        step = int(jax.device_get(self.state.step))
+        ckpt.save_checkpoint(self.cfg.checkpoint_dir, step,
+                             self.params_of(self.state),
+                             opt_state=getattr(self.state, "opt_state", None),
+                             extra={"refresh_no": self.refresh_no})
+
+    def resume(self) -> int:
+        """Restore the newest complete checkpoint from cfg.checkpoint_dir
+        into the training state (params + opt state + step + refresh
+        rotation). Returns the resumed step (0 = nothing to resume)."""
+        from ance_tpu.train import checkpoint as ckpt
+        from ance_tpu.train.trainer import TrainState
+        import jax.numpy as jnp
+
+        path, step = ckpt.get_latest_checkpoint(self.cfg.checkpoint_dir)
+        if path is None or not ckpt.is_complete(path):
+            return 0
+        params, opt_state, meta = ckpt.load_checkpoint(
+            path, self.params_of(self.state),
+            getattr(self.state, "opt_state", None))
+        self.state = TrainState(
+            step=jnp.asarray(step, jnp.int32), params=params,
+            opt_state=opt_state if opt_state is not None
+            else self.state.opt_state)
+        self.refresh_no = int((meta or {}).get("refresh_no", 0))
+        # regenerate the in-flight cycle from the restored params
+        self.snapshot = self._snapshot_params()
+        self._work.clear()
+        self._cyc.clear()
+        self._batches = None
+        self._seed_cycle()
+        logger.info("pipelined resume: step %s, refresh %s", step,
+                    self.refresh_no)
+        return step
+
     def _run_item(self) -> None:
         tag, fn = self._work.popleft()
         t0 = time.perf_counter()
@@ -290,5 +345,8 @@ class PipelinedAnce:
             # and break dispatch pipelining; resolved at refresh time
             self._losses_since_refresh.append(metrics["loss"])
             self.schedule_trace.append("T")
+            if self.cfg.checkpoint_dir and self.cfg.save_every and \
+                    (i + 1) % self.cfg.save_every == 0:
+                self._save_checkpoint()
             if (i + 1) % self.cfg.train_steps_per_slice == 0 and self._work:
                 self._run_item()

@@ -146,6 +146,42 @@ def test_pipelined_on_mesh(tmp_path):
     assert all(np.isfinite(h["dev_ndcg"]) for h in loop.history)
 
 
+def test_pipelined_checkpoint_resume(tmp_path):
+    """Kill-and-restart recovery: a fresh loop restores params + opt state +
+    step + refresh rotation from the newest complete checkpoint and
+    continues training (the reference's regenerate-on-restart semantics)."""
+    ckpt_dir = str(tmp_path / "ckpts")
+    cfg = PipelineConfig(train_steps_per_slice=4, encode_slice_size=16,
+                         encode_batch_size=16, batch_size=16,
+                         topk_training=32, negative_sample=8,
+                         ann_chunk_factor=2, dev_search_depth=32,
+                         checkpoint_dir=ckpt_dir, save_every=10)
+    loop_a = _setup(tmp_path, cfg)
+    loop_a.run(45)  # past one refresh boundary + several periodic saves
+    step_a = int(jax.device_get(loop_a.state.step))
+    refresh_a = loop_a.refresh_no
+    assert step_a == 45 and refresh_a >= 1
+
+    # "crash": build a brand-new loop from scratch over the same dirs
+    loop_b = _setup(tmp_path, cfg)
+    resumed = loop_b.resume()
+    assert resumed > 0
+    assert int(jax.device_get(loop_b.state.step)) == resumed
+    # params actually restored (differ from fresh init)
+    leaf_b = jax.tree.leaves(loop_b.state.params)[0]
+    fresh = jax.tree.leaves(_setup(tmp_path, cfg).state.params)[0]
+    assert not np.allclose(np.asarray(leaf_b), np.asarray(fresh))
+    # the rotation counter survives so query-chunk mining doesn't repeat
+    # chunk 0 forever
+    assert loop_b.refresh_no >= 1
+
+    loop_b.run(20)
+    assert int(jax.device_get(loop_b.state.step)) == resumed + 20
+    assert all(np.isfinite(h["dev_ndcg"]) for h in loop_b.history)
+    # refresh entries carry wall-clock observability
+    assert all("refresh_sec" in h for h in loop_b.history)
+
+
 def test_pipelined_multichunk_mode(tmp_path):
     """MaxP document mode through the pipelined loop: multi-vector rows in
     the index, id-level dedup in mining, chunked body encode in slices."""
