@@ -60,14 +60,21 @@ def _add_common_model_flags(p):
                    choices=["auto", "xla", "fused", "flash"],
                    help="auto picks by measured crossover: xla < seq 256, "
                         "fused 256-1024, flash beyond")
+    p.add_argument("--encoder_overrides", default=None,
+                   help="debug/smoke-test JSON overriding encoder-config "
+                        "fields, e.g. '{\"num_layers\": 2, "
+                        "\"hidden_size\": 64}'")
 
 
 def _build_model(args):
     import jax.numpy as jnp
     from ance_tpu.models.registry import get_model_spec
     spec = get_model_spec(args.model_type)
+    overrides = json.loads(args.encoder_overrides) \
+        if getattr(args, "encoder_overrides", None) else None
     model = spec.build(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                       attention_impl=args.attention)
+                       attention_impl=args.attention,
+                       config_overrides=overrides)
     return spec, model
 
 

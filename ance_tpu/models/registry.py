@@ -29,18 +29,24 @@ class ModelSpec:
     two_tower: bool = False
 
 
-def _rdot(dtype=jnp.float32, attention_impl="auto", **kw) -> RobertaDot:
-    cfg = EncoderConfig(dtype=dtype, attention_impl=attention_impl)
+def _rdot(dtype=jnp.float32, attention_impl="auto",
+          config_overrides=None, **kw) -> RobertaDot:
+    cfg = EncoderConfig(dtype=dtype, attention_impl=attention_impl,
+                        **(config_overrides or {}))
     return RobertaDot(cfg, use_mean=False, out_dim=768, **kw)
 
 
-def _rdot_multichunk(dtype=jnp.float32, attention_impl="auto", **kw):
-    cfg = EncoderConfig(dtype=dtype, attention_impl=attention_impl)
+def _rdot_multichunk(dtype=jnp.float32, attention_impl="auto",
+                     config_overrides=None, **kw):
+    cfg = EncoderConfig(dtype=dtype, attention_impl=attention_impl,
+                        **(config_overrides or {}))
     return RobertaDot(cfg, use_mean=False, out_dim=768, base_len=512, **kw)
 
 
-def _dpr(dtype=jnp.float32, attention_impl="auto", **kw) -> BiEncoder:
-    cfg = EncoderConfig.bert_base(dtype=dtype, attention_impl=attention_impl)
+def _dpr(dtype=jnp.float32, attention_impl="auto",
+         config_overrides=None, **kw) -> BiEncoder:
+    cfg = EncoderConfig.bert_base(dtype=dtype, attention_impl=attention_impl,
+                                  **(config_overrides or {}))
     return BiEncoder(cfg, **kw)
 
 

@@ -56,8 +56,9 @@ def seed_encoder_config(vocab_size: int = 32769, **kw) -> EncoderConfig:
 
 
 def seed_dot_model(vocab_size: int = 32769, out_dim: int = 768,
-                   **kw) -> RobertaDot:
+                   config_overrides=None, **kw) -> RobertaDot:
     """The ``seeddot_nll`` retrieval model (reference models.py:201-221)."""
+    kw.update(config_overrides or {})
     return RobertaDot(seed_encoder_config(vocab_size, **kw), use_mean=False,
                       out_dim=out_dim)
 

@@ -233,7 +233,7 @@ class PipelinedAnce:
         if self.metrics_logger is not None:
             self.metrics_logger.log(entry["step"], **{
                 k: v for k, v in entry.items()
-                if isinstance(v, (int, float))})
+                if k != "step" and isinstance(v, (int, float))})
         self.history.append(entry)
         if cfg.checkpoint_dir:
             self._save_checkpoint()

@@ -1,0 +1,88 @@
+"""In-process CLI end-to-end drives with tiny encoder overrides: the full
+preprocess → ance-loop (pipelined, meshed) and warmup surfaces, exercising
+exactly what a user types (argparse → command fns), fast enough for CI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ance_tpu.cli import main
+
+
+def _write_raw(tmp_path):
+    words = [f"word{i}" for i in range(40)]
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words:
+            f.write(t + "\n")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rs = np.random.RandomState(0)
+    with open(raw / "collection.tsv", "w") as col:
+        for pid in range(64):
+            toks = " ".join(words[i] for i in rs.randint(0, 40, 6))
+            col.write(f"{pid}\t{toks} {words[pid % 40]}\n")
+    for split, n0, n1 in (("train", 0, 32), ("dev.small", 32, 48)):
+        with open(raw / f"queries.{split}.tsv", "w") as q, \
+                open(raw / f"qrels.{split}.tsv", "w") as r:
+            for qid in range(n0, n1):
+                q.write(f"{qid}\tfind {words[qid % 40]}\n")
+                r.write(f"{qid}\t0\t{qid % 64}\t1\n")
+    return raw
+
+
+TINY = json.dumps({"num_layers": 2, "hidden_size": 32, "num_heads": 4,
+                   "intermediate_size": 64, "max_position_embeddings": 40})
+
+
+def test_cli_preprocess_and_ance_loop(tmp_path, capsys):
+    raw = _write_raw(tmp_path)
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "ckpts")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["pid2offset"] == 64
+
+    main(["ance-loop", *base, "--encoder_overrides", TINY,
+          "--data_dir", data, "--output_dir", out,
+          "--max_steps", "12", "--train_steps_per_slice", "2",
+          "--encode_slice_size", "32", "--topk_training", "16",
+          "--negative_sample", "4", "--ann_chunk_factor", "1",
+          "--per_device_eval_batch_size", "16",
+          "--per_device_train_batch_size", "8",
+          "--warmup_steps", "4", "--learning_rate", "1e-3",
+          "--log_trust_ratios"])
+    history = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert history and np.isfinite(history[-1]["dev_ndcg"])
+    assert "trust_ratio_mean" in history[-1]
+    # streamed refresh metrics + a complete resumable checkpoint on disk
+    assert os.path.exists(os.path.join(out, "refresh.jsonl"))
+    from ance_tpu.train import checkpoint as ckpt
+    path, step = ckpt.get_latest_checkpoint(out)
+    assert path and ckpt.is_complete(path) and step == 12
+
+
+def test_cli_warmup_tiny(tmp_path, capsys):
+    _write_raw(tmp_path)
+    triples = tmp_path / "triples.tsv"
+    rs = np.random.RandomState(1)
+    with open(triples, "w") as f:
+        for _ in range(64):
+            q, p, n = (" ".join(f"word{i}" for i in rs.randint(0, 40, 4))
+                       for _ in range(3))
+            f.write(f"{q}\t{p}\t{n}\n")
+    main(["warmup", "--model_type", "seeddot_nll",
+          "--model_name_or_path", str(tmp_path),
+          "--encoder_overrides", TINY,
+          "--max_seq_length", "16", "--max_query_length", "8",
+          "--train_file", str(triples), "--num_train_epochs", "2",
+          "--per_device_train_batch_size", "8", "--max_steps", "10",
+          "--save_steps", "5", "--output_dir", str(tmp_path / "warm"),
+          "--no_data_parallel"])
+    tail = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(np.isfinite(h["loss"]) for h in tail if "loss" in h)
