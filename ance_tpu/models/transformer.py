@@ -52,6 +52,11 @@ class EncoderConfig:
                                       # (torch parity); False keeps the
                                       # residual stream in compute dtype —
                                       # fewer HBM cast round-trips on TPU
+    fused_qkv: bool = False           # compute Q/K/V as ONE [H, 3H] GEMM —
+                                      # reads the activations once instead of
+                                      # three times (HBM win); parameter tree
+                                      # is unchanged (kernels concatenated at
+                                      # apply time), so checkpoints interop
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -110,6 +115,22 @@ class Embeddings(nn.Module):
         return x.astype(cfg.dtype)
 
 
+class ProjParams(nn.Module):
+    """Kernel+bias holder with nn.Dense's exact parameter tree, for paths
+    that consume the weights directly (fused QKV) instead of applying a
+    Dense — keeps checkpoints interchangeable with the unfused layout."""
+
+    features: int
+    in_features: int
+    kernel_init: nn.initializers.Initializer
+
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+
 class SelfAttention(nn.Module):
     config: EncoderConfig
 
@@ -120,12 +141,21 @@ class SelfAttention(nn.Module):
         B, S, _ = x.shape
         H, D = cfg.num_heads, cfg.head_dim()
 
-        def proj(name):
-            y = nn.Dense(cfg.hidden_size, kernel_init=init, name=name,
-                         dtype=cfg.dtype)(x)
-            return y.reshape(B, S, H, D)
+        if cfg.fused_qkv:
+            ps = [ProjParams(cfg.hidden_size, cfg.hidden_size, init, name=n)
+                  for n in ("query", "key", "value")]
+            w = jnp.concatenate([p.kernel for p in ps], 1).astype(cfg.dtype)
+            b = jnp.concatenate([p.bias for p in ps]).astype(cfg.dtype)
+            qkv = x.astype(cfg.dtype) @ w + b          # ONE [H, 3H] GEMM
+            q, k, v = [y.reshape(B, S, H, D)
+                       for y in jnp.split(qkv, 3, axis=-1)]
+        else:
+            def proj(name):
+                y = nn.Dense(cfg.hidden_size, kernel_init=init, name=name,
+                             dtype=cfg.dtype)(x)
+                return y.reshape(B, S, H, D)
 
-        q, k, v = proj("query"), proj("key"), proj("value")
+            q, k, v = proj("query"), proj("key"), proj("value")
         ctx = multi_head_attention(q, k, v, attention_mask,
                                    impl=cfg.attention_impl)
         ctx = ctx.reshape(B, S, cfg.hidden_size)

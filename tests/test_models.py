@@ -250,3 +250,24 @@ def test_remat_encoder_matches_and_trains():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_qkv_identical_tree_and_outputs():
+    """fused_qkv=True computes Q/K/V as one [H, 3H] GEMM but keeps nn.Dense's
+    exact parameter tree, so checkpoints interop and outputs match the
+    unfused path bit-for-bit at fp32."""
+    kw = dict(vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+              intermediate_size=64, max_position_embeddings=20,
+              hidden_dropout=0.0, attention_dropout=0.0)
+    m1 = TransformerEncoder(EncoderConfig(**kw))
+    m2 = TransformerEncoder(EncoderConfig(fused_qkv=True, **kw))
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(2, 90, (3, 10)), jnp.int32)
+    mask = jnp.ones((3, 10), jnp.int32)
+    p1 = m1.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    p2 = m2.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    o1 = m1.apply({"params": p1}, ids, mask)
+    o2 = m2.apply({"params": p1}, ids, mask)  # same params, fused compute
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-6, atol=1e-6)

@@ -150,3 +150,149 @@ def test_seed_pretrain_loss():
     # fully-unmasked edge: no NaN
     z = masked_lm_loss(logits, targets, jnp.zeros((B, S)))
     assert float(z) == 0.0
+
+
+@pytest.mark.parametrize("window", [2, 8])
+def test_incremental_decode_matches_full_forward(window):
+    """Step-by-step KV-cache decoding reproduces the teacher-forced
+    full-sequence decoder logits exactly (the parity the reference's
+    fairseq incremental_state path guarantees, modules.py:977-1045) —
+    including ring-buffer wraparound (T > window)."""
+    from ance_tpu.models.seed import DecodeCache
+
+    ecfg = seed_encoder_config(vocab_size=80, hidden_size=32, num_layers=2,
+                               num_heads=4, intermediate_size=64,
+                               max_position_embeddings=40,
+                               hidden_dropout=0.0, attention_dropout=0.0)
+    dcfg = SeedDecoderConfig(num_layers=2, attention_window=window,
+                             hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_positions=40,
+                             dropout=0.0)
+    model = SeedForMaskedLM(ecfg, dcfg)
+    rs = np.random.RandomState(1)
+    B, S, T = 2, 8, 12  # T > window for both spans: exercises slot reuse
+    src = jnp.asarray(rs.randint(4, 80, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    prev = jnp.asarray(rs.randint(4, 80, (B, T)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, mask, prev)["params"]
+    _, full = model.apply({"params": params}, src, mask, prev)
+
+    memory = model.apply({"params": params}, src, mask,
+                         method=SeedForMaskedLM.encode_memory)
+    cache = DecodeCache.init(dcfg.num_layers, B, window, dcfg.num_heads,
+                             dcfg.hidden_size // dcfg.num_heads)
+    step = jax.jit(lambda tok, pos, cache: model.apply(
+        {"params": params}, tok, pos, memory, cache,
+        method=SeedForMaskedLM.decode_step))
+    for t in range(T):
+        logits, cache = step(prev[:, t], t, cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, t]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_greedy_decode_jits_and_is_deterministic():
+    from ance_tpu.models.seed import greedy_decode
+
+    ecfg = seed_encoder_config(vocab_size=60, hidden_size=32, num_layers=1,
+                               num_heads=4, intermediate_size=64,
+                               max_position_embeddings=40,
+                               hidden_dropout=0.0, attention_dropout=0.0)
+    dcfg = SeedDecoderConfig(num_layers=1, attention_window=2,
+                             hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_positions=40,
+                             dropout=0.0)
+    model = SeedForMaskedLM(ecfg, dcfg)
+    rs = np.random.RandomState(2)
+    src = jnp.asarray(rs.randint(4, 60, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, mask,
+                        src[:, :4])["params"]
+    fn = jax.jit(lambda s, m: greedy_decode(model, params, s, m, steps=6))
+    toks = fn(src, mask)
+    assert toks.shape == (2, 6)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(fn(src, mask)))
+    # the bottleneck conditions generation: different src → different
+    # first-step LOGITS (argmax can coincide at random init, so compare the
+    # continuous quantity)
+    from ance_tpu.models.seed import DecodeCache
+    src2 = jnp.asarray(rs.randint(4, 60, (2, 8)), jnp.int32)
+    cache = DecodeCache.init(1, 2, 2, 4, 8)
+    def first_logits(s):
+        mem = model.apply({"params": params}, s, mask,
+                          method=SeedForMaskedLM.encode_memory)
+        lg, _ = model.apply({"params": params}, jnp.zeros((2,), jnp.int32),
+                            0, mem, cache,
+                            method=SeedForMaskedLM.decode_step)
+        return np.asarray(lg)
+    assert np.abs(first_logits(src2) - first_logits(src)).max() > 1e-6
+
+
+def test_sinusoidal_positions_matches_fairseq_formula():
+    """Exact parity with the reference get_embedding math executed in torch
+    (reference modules.py:220-236)."""
+    import torch
+    from ance_tpu.models.seed import sinusoidal_positions
+
+    num, dim, pad = 12, 10, 1
+    half = dim // 2
+    emb = float(np.log(10000.0)) / (half - 1)
+    emb = torch.exp(torch.arange(half, dtype=torch.float) * -emb)
+    emb = torch.arange(num, dtype=torch.float).unsqueeze(1) * emb.unsqueeze(0)
+    ref = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1).view(num, -1)
+    ref[pad, :] = 0
+    got = np.asarray(sinusoidal_positions(num, dim, padding_idx=pad))
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-6, atol=1e-6)
+
+    # odd dim gets a zero column appended (reference modules.py:231-233)
+    odd = np.asarray(sinusoidal_positions(6, 7))
+    assert odd.shape == (6, 7) and np.all(odd[:, -1] == 0)
+
+
+def test_seed_decoder_sinusoidal_option():
+    """learned_pos=False swaps the learned table for the sinusoidal one; the
+    model still runs and the position signal reaches the logits."""
+    ecfg = seed_encoder_config(vocab_size=50, hidden_size=32, num_layers=1,
+                               num_heads=4, intermediate_size=64,
+                               max_position_embeddings=40,
+                               hidden_dropout=0.0, attention_dropout=0.0)
+    dcfg = SeedDecoderConfig(num_layers=1, attention_window=2,
+                             hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_positions=30,
+                             dropout=0.0, learned_pos=False)
+    model = SeedForMaskedLM(ecfg, dcfg)
+    rs = np.random.RandomState(3)
+    src = jnp.asarray(rs.randint(4, 50, (2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+    prev = jnp.asarray(rs.randint(4, 50, (2, 5)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, mask, prev)["params"]
+    assert "decoder_pos" not in params  # no learned table
+    _, dec = model.apply({"params": params}, src, mask, prev)
+    assert dec.shape == (2, 5, 50)
+    assert np.all(np.isfinite(np.asarray(dec)))
+
+
+def test_adaptive_softmax_normalized_and_nll_consistent():
+    from ance_tpu.models.seed import AdaptiveSoftmax
+
+    V, d = 50, 16
+    m = AdaptiveSoftmax(vocab_size=V, input_dim=d, cutoffs=(10, 30))
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(7, d).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, method=AdaptiveSoftmax.log_prob)
+    lp = m.apply(params, x, method=AdaptiveSoftmax.log_prob)
+    assert lp.shape == (7, V)
+    # a proper distribution over the FULL vocab
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(lp, axis=-1)), 0.0, atol=1e-5)
+
+    # nll (static-shape path) == gathering from the dense log_prob,
+    # across head / both tail clusters incl. boundaries
+    tgt = jnp.asarray([0, 9, 10, 29, 30, 49, 17])
+    nll = float(m.apply(params, x, tgt, method=AdaptiveSoftmax.nll))
+    ref = float(-np.mean(np.asarray(lp)[np.arange(7), np.asarray(tgt)]))
+    assert abs(nll - ref) < 1e-5
+
+    # the tail factorization is genuinely low-rank
+    k = params["params"]["tail_proj_0"]["kernel"]
+    assert k.shape == (d, d // 4)
