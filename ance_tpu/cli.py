@@ -250,6 +250,11 @@ def cmd_train(args):
             raise SystemExit("--num_epoch is the DPR trainer's fixed-epoch "
                              "mode; use --model_type dpr")
         from ance_tpu.train.dpr_trainer import evaluate_dev, run_dpr_epochs
+        epoch_transform = None
+        if mesh is not None and num_hosts > 1:
+            from ance_tpu.core.mesh import shard_batch
+            def epoch_transform(b):
+                return shard_batch(b, mesh)
         with TokenCache(args.data_dir + "/train-query") as qc, \
                 TokenCache(args.data_dir + "/passages") as pc:
             dev_eval_fn = None
@@ -267,7 +272,9 @@ def cmd_train(args):
                 num_epochs=args.num_epoch,
                 batch_size=args.per_device_train_batch_size,
                 shuffle_seed=args.seed, dev_eval_fn=dev_eval_fn,
-                checkpoint_dir=args.output_dir)
+                checkpoint_dir=args.output_dir,
+                host_id=host_id, num_hosts=num_hosts,
+                batch_transform=epoch_transform)
         print(json.dumps(history))
         return
 

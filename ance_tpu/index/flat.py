@@ -279,6 +279,11 @@ class FlatIPIndex:
         sr = self._slice_rows
         if start % sr:
             raise ValueError(f"start {start} not aligned to slice_rows {sr}")
+        if not 0 <= start < self._emb.shape[0]:
+            # out of range would silently clamp (single-device) or no-op
+            # (mesh: no shard owns it) — fail loudly instead
+            raise ValueError(f"start {start} outside buffer rows "
+                             f"[0, {self._emb.shape[0]})")
         emb = jnp.asarray(emb)
         if emb.shape[0] > sr:
             raise ValueError(f"slice has {emb.shape[0]} rows > {sr}")

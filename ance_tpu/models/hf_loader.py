@@ -253,9 +253,18 @@ def load_torch_state_dict(path: str | os.PathLike) -> dict:
             path = preferred
         else:
             cands = sorted(f for f in os.listdir(path)
-                           if f.endswith((".bin", ".pt")))
+                           if f.endswith((".bin", ".pt"))
+                           and f != "training_args.bin")
             if not cands:
                 raise FileNotFoundError(f"no torch checkpoint in {path}")
+            if len(cands) > 1:
+                # e.g. a sharded HF checkpoint or several fairseq .pt files:
+                # picking the alphabetically-first would silently graft a
+                # partial tower and fail deep in the param mapping
+                raise FileNotFoundError(
+                    f"ambiguous checkpoint dir {path}: {cands}; expected a "
+                    "single pytorch_model.bin/.pt (sharded checkpoints are "
+                    "not supported — consolidate first)")
             path = os.path.join(path, cands[0])
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model_dict" in sd:  # DPR CheckpointState

@@ -74,7 +74,9 @@ def sinusoidal_positions(num_embeddings: int, dim: int,
     configs (``decoder_learned_pos=True``) but part of the fairseq ops
     surface; exposed via ``SeedDecoderConfig(learned_pos=False)``."""
     half = dim // 2
-    freq = jnp.exp(jnp.arange(half) * -(jnp.log(10000.0) / (half - 1)))
+    # max(half-1, 1) guards tiny debug dims (dim ≤ 3 → half ≤ 1): fairseq's
+    # formula divides by half-1 and would emit inf/NaN frequencies there
+    freq = jnp.exp(jnp.arange(half) * -(jnp.log(10000.0) / max(half - 1, 1)))
     ang = jnp.arange(num_embeddings, dtype=jnp.float32)[:, None] * freq[None, :]
     table = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
     if dim % 2 == 1:

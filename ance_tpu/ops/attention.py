@@ -72,7 +72,9 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     if impl == "auto":
         S = q.shape[1]
-        if jax.default_backend() == "cpu" or S < 256:
+        # Pallas kernels here are Mosaic/TPU-only — any other backend (cpu,
+        # gpu) takes the XLA path, which is correct everywhere
+        if jax.default_backend() != "tpu" or S < 256:
             impl = "xla"
         else:
             impl = "fused" if S <= 1024 else "flash"

@@ -109,7 +109,9 @@ def run_dpr_epochs(*, state, train_step: Callable, rng, params_of: Callable,
                    train_data_path: str, num_epochs: int, batch_size: int,
                    shuffle_seed: int = 42,
                    dev_eval_fn: Optional[Callable] = None,
-                   checkpoint_dir: Optional[str] = None):
+                   checkpoint_dir: Optional[str] = None,
+                   host_id: int = 0, num_hosts: int = 1,
+                   batch_transform: Optional[Callable] = None):
     """Fixed-epoch DPR training — the reference's ``--num_epoch`` alternative
     to ann-polling (run_ann_dpr.py:179-191), with dev NLL/accuracy evaluated
     after every data epoch (run_ann_dpr.py:196-211).
@@ -126,9 +128,13 @@ def run_dpr_epochs(*, state, train_step: Callable, rng, params_of: Callable,
     for epoch in range(num_epochs):
         triples = sample_one_neg_triples(lines, seed=shuffle_seed + epoch)
         feed = TripletBatches(query_cache, passage_cache, triples,
-                              batch_size, seed=shuffle_seed)
+                              batch_size, seed=shuffle_seed,
+                              host_id=host_id, num_hosts=num_hosts)
         last_loss = None
         for batch in feed.epoch(epoch):
+            if batch_transform is not None:
+                batch = batch_transform(batch)  # e.g. multi-host global
+                # array assembly (shard_batch), as in the polling path
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, sub)
             last_loss = metrics["loss"]

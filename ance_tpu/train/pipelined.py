@@ -156,8 +156,15 @@ class PipelinedAnce:
         self._cyc.setdefault("dev_nb", []).append(np.asarray(nb))
 
     def _dev_metrics(self) -> None:
-        dev_nb = np.concatenate(self._cyc.pop("dev_nb"), axis=0)
-        dev_ids = self._cyc.pop("dev_ids")
+        parts = self._cyc.pop("dev_nb", [])
+        dev_ids = self._cyc.pop("dev_ids", np.zeros((0,), np.int64))
+        if not parts or len(dev_ids) == 0:
+            # empty dev set: no search items ran; report zeros rather than
+            # kill the job at the first refresh boundary
+            self._cyc["dev_ndcg"] = self._cyc["dev_recall"] = 0.0
+            self._cyc.pop("dev_emb", None)
+            return
+        dev_nb = np.concatenate(parts, axis=0)
         k = min(self.cfg.dev_search_depth, self.index.ntotal)
         dev_ndcg, _ = eval_dev_ndcg(dev_nb, dev_ids, self._passage_ids,
                                     self.dev_qrels)
@@ -212,8 +219,8 @@ class PipelinedAnce:
             self._batches = infinite_batches(feed)
 
         entry = {"refresh": self.refresh_no,
-                 "dev_ndcg": self._cyc.pop("dev_ndcg"),
-                 "dev_recall": self._cyc.pop("dev_recall"),
+                 "dev_ndcg": self._cyc.pop("dev_ndcg", 0.0),
+                 "dev_recall": self._cyc.pop("dev_recall", 0.0),
                  "ann_mrr": ann_mrr, "num_triples": len(triples),
                  "step": int(jax.device_get(self.state.step))}
         if self._losses_since_refresh:
@@ -327,7 +334,15 @@ class PipelinedAnce:
         """Initial full refresh (all work items back to back) before training
         starts — the reference's 'initial ann data generation'
         (commands/run_train.sh)."""
+        start_refresh = self.refresh_no
         while self._batches is None:
+            if self.refresh_no > start_refresh:
+                # a whole cycle completed without producing a feed — loop
+                # again and we'd re-encode the corpus forever
+                raise RuntimeError(
+                    "bootstrap refresh produced zero training triples "
+                    "(no train qrels, or mining found no usable negatives); "
+                    "check train-qrel.tsv and the corpus/query caches")
             self._run_item()
         return self.history[-1]
 
@@ -335,6 +350,8 @@ class PipelinedAnce:
     def run(self, num_steps: int) -> None:
         """Run ``num_steps`` train steps with ONE work item executed every
         ``train_steps_per_slice`` steps."""
+        if num_steps <= 0:
+            return  # a finished/resumed-complete job must not re-bootstrap
         if self._batches is None:
             self.bootstrap()
         for i in range(num_steps):

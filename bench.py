@@ -116,10 +116,15 @@ def bench_train_step(jax, jnp, on_tpu):
 
 
 def bench_search(jax, jnp, on_tpu):
-    """Exact top-k over the corpus (bf16 index, fused blockmax on TPU)."""
+    """Exact top-k over the corpus (bf16 index, fused blockmax on TPU).
+
+    Query batch 2048: per-call dispatch (tunneled on the remote chip) is a
+    fixed cost, so larger batches measure the device, not the wire — the
+    measured knee (docs/perf_sweep_train.py): q=512 → 8.0k qps,
+    q=2048 → 24.7k qps on v5e."""
     from ance_tpu.index.flat import FlatIPIndex
 
-    n, d, q, k = (1_000_000, 768, 512, 10) if on_tpu else (20_000, 128, 64, 10)
+    n, d, q, k = (1_000_000, 768, 2048, 10) if on_tpu else (20_000, 128, 64, 10)
     rs = np.random.RandomState(1)
     corpus = rs.randn(n, d).astype(np.float32)
     queries = rs.randn(q, d).astype(np.float32)

@@ -113,3 +113,22 @@ def test_dpr_checkpoint_into_rdot_raises(tmp_path):
     params = _init(model)
     with pytest.raises(KeyError):
         _warm_start_params(get_model_spec("rdot_nll"), params, str(tmp_path))
+
+
+def test_ambiguous_checkpoint_dir_raises(tmp_path):
+    """A dir with several torch artifacts (e.g. a sharded HF checkpoint)
+    must error clearly instead of grafting the alphabetically-first shard."""
+    import torch
+    from ance_tpu.models.hf_loader import load_torch_state_dict
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    torch.save({"a": torch.zeros(1)}, d / "pytorch_model-00001-of-00002.bin")
+    torch.save({"b": torch.zeros(1)}, d / "pytorch_model-00002-of-00002.bin")
+    torch.save({"args": 1}, d / "training_args.bin")  # must be ignored
+    with pytest.raises(FileNotFoundError, match="ambiguous"):
+        load_torch_state_dict(d)
+    # a single candidate (plus training_args.bin) still loads
+    (d / "pytorch_model-00002-of-00002.bin").unlink()
+    sd = load_torch_state_dict(d)
+    assert "a" in sd

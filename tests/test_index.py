@@ -242,3 +242,15 @@ def test_dims_quantized_index_with_blockmax_path():
 
     with pytest.raises(ValueError):
         FlatIPIndex(dim=32, quantize="nope")
+
+
+def test_update_slice_out_of_range_raises():
+    from ance_tpu.index.flat import FlatIPIndex
+
+    idx = FlatIPIndex(dim=8)
+    idx.allocate(10, 8, slice_rows=4)  # padded to 12 rows
+    idx.update_slice(8, np.ones((2, 8), np.float32))  # short final: fine
+    with pytest.raises(ValueError, match="outside buffer"):
+        idx.update_slice(12, np.ones((4, 8), np.float32))
+    with pytest.raises(ValueError, match="outside buffer"):
+        idx.update_slice(-4, np.ones((4, 8), np.float32))

@@ -220,3 +220,38 @@ def test_pipelined_multichunk_mode(tmp_path):
     h = loop.history[-1]
     assert np.isfinite(h["dev_ndcg"]) and h["num_triples"] > 0
     assert int(loop.state.step) == 16
+
+
+def test_bootstrap_zero_triples_raises(tmp_path):
+    """A refresh cycle that mines no usable triples must fail loudly instead
+    of silently re-encoding the corpus forever."""
+    loop = _setup(tmp_path, PipelineConfig(
+        train_steps_per_slice=2, encode_slice_size=64, encode_batch_size=32,
+        batch_size=4, topk_training=8, negative_sample=2, ann_chunk_factor=1,
+        dev_search_depth=4, search_chunk_queries=64))
+    loop.train_positive = {}  # no train qrels → no triples can be built
+    with pytest.raises(RuntimeError, match="zero training triples"):
+        loop.bootstrap()
+
+
+def test_run_zero_steps_is_a_noop(tmp_path):
+    """A finished job (remaining == 0) must not trigger a full bootstrap
+    refresh (corpus re-encode) on restart."""
+    loop = _setup(tmp_path, PipelineConfig(
+        train_steps_per_slice=2, encode_slice_size=64, encode_batch_size=32,
+        batch_size=4, topk_training=8, negative_sample=2, ann_chunk_factor=1,
+        dev_search_depth=4, search_chunk_queries=64))
+    loop.run(0)
+    assert loop._batches is None and loop.schedule_trace == []
+
+
+def test_dev_metrics_tolerates_empty_dev_set(tmp_path):
+    """No dev-search items ran (empty dev cache) → zeros, not a KeyError
+    that kills the job at the first refresh boundary."""
+    loop = _setup(tmp_path, PipelineConfig(
+        train_steps_per_slice=2, encode_slice_size=64, encode_batch_size=32,
+        batch_size=4, topk_training=8, negative_sample=2, ann_chunk_factor=1,
+        dev_search_depth=4, search_chunk_queries=64))
+    loop._cyc = {}  # the state an empty dev cache leaves behind
+    loop._dev_metrics()
+    assert loop._cyc["dev_ndcg"] == 0.0 and loop._cyc["dev_recall"] == 0.0

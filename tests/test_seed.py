@@ -296,3 +296,12 @@ def test_adaptive_softmax_normalized_and_nll_consistent():
     # the tail factorization is genuinely low-rank
     k = params["params"]["tail_proj_0"]["kernel"]
     assert k.shape == (d, d // 4)
+
+
+def test_sinusoidal_tiny_dim_is_finite():
+    """dim <= 3 (debug sizes) must not divide by zero in the frequency
+    schedule."""
+    from ance_tpu.models.seed import sinusoidal_positions
+    for dim in (1, 2, 3):
+        t = np.asarray(sinusoidal_positions(5, dim))
+        assert t.shape == (5, dim) and np.all(np.isfinite(t))
