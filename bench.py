@@ -79,6 +79,37 @@ def bench_encode(jax, jnp, on_tpu):
     return pps, pps * GFLOP_PER_PASSAGE / 1000.0  # passages/s, TF/s
 
 
+def bench_maxp_encode(jax, jnp, on_tpu):
+    """MaxP body encode: [B, 4·512] docs → 4 chunks/doc through the seq-512
+    Pallas fused-attention path (the reference MaxP geometry,
+    models.py:160-199). Returns docs/sec."""
+    from ance_tpu.models.dot_models import RobertaDot
+    from ance_tpu.models.transformer import EncoderConfig
+
+    B, C, S = (16, 4, 512) if on_tpu else (2, 2, 64)
+    cfg = EncoderConfig(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    model = RobertaDot(cfg, out_dim=768, base_len=S)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(4, 50000, (B, C * S)), jnp.int32)
+    mask = jnp.ones((B, C * S), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids[:1, :S],
+                                 mask[:1, :S])["params"]
+
+    @jax.jit
+    def encode(params, ids, mask):
+        return model.apply({"params": params}, ids, mask,
+                           method=model.body_emb_multichunk)
+
+    _materialize(encode(params, ids, mask))
+    reps = 10
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = encode(params, ids, mask)
+    _materialize(out)
+    return B * reps / (time.perf_counter() - t0)
+
+
 def bench_train_step(jax, jnp, on_tpu):
     """FirstP triplet step (3 encoder passes fwd+bwd, LAMB, clip)."""
     from ance_tpu.models.dot_models import RobertaDot
@@ -149,6 +180,7 @@ def main():
     kind = getattr(dev, "device_kind", "unknown")
 
     pps, tflops = bench_encode(jax, jnp, on_tpu)
+    maxp_dps = bench_maxp_encode(jax, jnp, on_tpu)
     train_ms, train_b = bench_train_step(jax, jnp, on_tpu)
     search_qps, corpus_n = bench_search(jax, jnp, on_tpu)
 
@@ -161,6 +193,7 @@ def main():
         "device": kind,
         "encode_tflops": round(tflops, 1),
         "encode_mfu": round(tflops / peak, 3) if peak else None,
+        "maxp_docs_per_sec": round(maxp_dps, 1),
         "train_step_ms": round(train_ms, 1),
         "train_batch": train_b,
         "search_qps": round(search_qps, 1),

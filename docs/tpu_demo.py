@@ -34,11 +34,11 @@ from ance_tpu.train.trainer import (
 VOCAB = 30522
 QLEN, PLEN = 32, 128
 N_CLASSES = 1024
-N_PASSAGES = 100_000
+N_PASSAGES = int(os.environ.get("DEMO_PASSAGES", 100_000))
 N_TRAIN_Q, N_DEV_Q = 8192, 512
 SHIFT = 15000
 LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "tpu_demo_run.jsonl")
+                   os.environ.get("DEMO_LOG", "tpu_demo_run.jsonl"))
 
 
 def log(rec):
