@@ -160,7 +160,7 @@ def main():
          **{k: round(v, 4) if isinstance(v, float) else v
             for k, v in loop.history[-1].items()}})
 
-    TOTAL = 3640  # ~19 work items/refresh (13 E + dev/mine/finalize items)
+    TOTAL = int(os.environ.get("DEMO_STEPS", 3640))  # ~19 work items/refresh (13 E + dev/mine/finalize items)
                   # × 8 steps → ~24 full refreshes
     done = 0
     while done < TOTAL:
