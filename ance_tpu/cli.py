@@ -10,6 +10,7 @@ the reference argparse surface for operability, SURVEY.md §7.1 "cli/"):
   generate         drivers/run_ann_data_gen.py      (encode→index→mine)
   ance-loop        single-program generate→train alternation (TPU-native)
   infer            drivers/run_ann_data_gen.py --inference
+  serve            batch retrieval serving (encoder + exact index → rankings)
   eval             evaluation notebook / msmarco_eval.py CLI
 """
 
@@ -513,6 +514,108 @@ def cmd_eval_full(args):
                                        topn=args.topn)))
 
 
+def cmd_serve(args):
+    """Batch retrieval serving: frozen encoder + device-resident exact index
+    behind one command — the serving capability behind the reference's
+    ~100× cascade-speedup claim (reference README.md:16-17). Corpus
+    embeddings come from an ``infer`` dump (--emb_prefix) or are encoded
+    fresh from the --data_dir token cache. Emits ``qid\\tpid\\trank`` lines
+    (the official scorer's candidate format; add scores with
+    --with_scores)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.index.flat import FlatIPIndex
+    from ance_tpu.serve import Retriever
+    from ance_tpu.train import checkpoint as ckpt
+    from ance_tpu.train.encode import encode_cache, make_encode_fn
+
+    spec, model = _build_model(args)
+    L = args.max_query_length
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    ckpt_path = None
+    if args.training_dir or args.init_model_dir:
+        ckpt_path, _ = ckpt.get_latest_checkpoint(args.training_dir or "",
+                                                  args.init_model_dir)
+    if ckpt_path and ckpt.is_complete(ckpt_path):
+        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+    elif args.model_name_or_path and os.path.isdir(args.model_name_or_path) \
+            and _torch_ckpt_file(args.model_name_or_path):
+        params = _warm_start_params(spec, params, args.model_name_or_path)
+
+    if args.emb_prefix:
+        from ance_tpu.evaluation.offline import load_embedding_shards
+        emb = load_embedding_shards(args.emb_prefix)
+        e2id = load_embedding_shards(args.emb_id_prefix)
+        if emb is None or e2id is None:
+            raise SystemExit("missing embedding shards under --emb_prefix/"
+                             "--emb_id_prefix")
+        e2id = e2id.astype(np.int64)
+    else:
+        body = type(model).body_emb_multichunk if spec.multichunk \
+            else type(model).body_emb
+        bfn = make_encode_fn(model, body)
+        with TokenCache(args.data_dir + "/passages") as pc:
+            emb, e2id = encode_cache(bfn, params, pc,
+                                     args.per_device_eval_batch_size,
+                                     multichunk=spec.multichunk)
+    index = FlatIPIndex(
+        dim=emb.shape[1],
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        quantize=False if args.quantize == "none" else args.quantize)
+    index.add(emb)
+
+    tokenizer = None
+    if not args.query_cache:
+        tokenizer = _tokenizer_factory(spec.tokenizer_name,
+                                       args.model_name_or_path)()
+    retriever = Retriever(make_encode_fn(model, type(model).query_emb),
+                          params, index, embedding2id=e2id,
+                          tokenizer=tokenizer, max_query_length=L)
+
+    out = open(args.output, "w", encoding="utf-8") if args.output \
+        else sys.stdout
+    B = args.per_device_eval_batch_size
+    n_q = 0
+    if args.query_cache:
+        from ance_tpu.train.encode import iter_cache_batches
+        with TokenCache(args.query_cache) as qc:
+            for keys, ids, mask in iter_cache_batches(qc, B):
+                scores, pids = retriever.search_tokens(ids[:len(keys)],
+                                                       mask[:len(keys)],
+                                                       args.topk)
+                _write_ranking(out, keys, pids, scores, args.with_scores)
+                n_q += len(keys)
+    else:
+        with open(args.queries, encoding="utf-8") as f:
+            rows = [line.rstrip("\n").split("\t") for line in f if line.strip()]
+        for s in range(0, len(rows), B):
+            chunk = rows[s:s + B]
+            qids = [int(r[0]) for r in chunk]
+            scores, pids = retriever.search([r[1] for r in chunk], args.topk)
+            _write_ranking(out, qids, pids, scores, args.with_scores)
+            n_q += len(chunk)
+    if args.output:
+        out.close()
+        print(json.dumps({"queries": n_q, "topk": args.topk,
+                          "corpus_rows": int(index.ntotal),
+                          "output": args.output}))
+
+
+def _write_ranking(out, qids, pids, scores, with_scores: bool) -> None:
+    for qid, prow, srow in zip(qids, pids, scores):
+        for rank, (pid, sc) in enumerate(zip(prow, srow), start=1):
+            if pid < 0:
+                break
+            line = f"{int(qid)}\t{int(pid)}\t{rank}"
+            if with_scores:
+                line += f"\t{float(sc):.6f}"
+            out.write(line + "\n")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="ance")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -622,6 +725,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_sample", type=int, default=20)
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
     p.set_defaults(fn=cmd_generate_dpr)
+
+    p = sub.add_parser("serve",
+                       help="batch retrieval serving: encoder + exact index "
+                            "→ qid\\tpid\\trank rankings")
+    _add_common_model_flags(p)
+    p.add_argument("--training_dir", default=None,
+                   help="checkpoint dir (newest complete checkpoint loads)")
+    p.add_argument("--init_model_dir", default=None)
+    p.add_argument("--data_dir", default=None,
+                   help="token-cache dir; encodes {data_dir}/passages when "
+                        "no --emb_prefix is given")
+    p.add_argument("--emb_prefix", default=None,
+                   help="corpus embedding shard prefix from `ance infer`")
+    p.add_argument("--emb_id_prefix", default=None)
+    p.add_argument("--queries", default=None,
+                   help="raw TSV (qid\\ttext); tokenized on the fly")
+    p.add_argument("--query_cache", default=None,
+                   help="pre-tokenized query cache (offsets become qids)")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "dims", "rows"],
+                   help="int8 corpus storage (dims folds scales into the "
+                        "query; 1.18x faster than bf16 measured, 4x smaller "
+                        "than fp32 FAISS)")
+    p.add_argument("--with_scores", action="store_true")
+    p.add_argument("--output", default=None, help="ranking TSV (else stdout)")
+    p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("eval", help="official MS MARCO MRR scorer")
     p.add_argument("reference")

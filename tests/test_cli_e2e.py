@@ -86,3 +86,49 @@ def test_cli_warmup_tiny(tmp_path, capsys):
           "--no_data_parallel"])
     tail = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(np.isfinite(h["loss"]) for h in tail if "loss" in h)
+
+
+def test_cli_serve_end_to_end(tmp_path, capsys):
+    """`ance serve` both query paths (raw TSV with on-the-fly tokenization,
+    and a pre-tokenized cache), int8 index option, and composition with the
+    official scorer's candidate format."""
+    raw = _write_raw(tmp_path)
+    data = str(tmp_path / "data")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    capsys.readouterr()
+
+    out_tsv = str(tmp_path / "ranks.tsv")
+    serve_base = ["serve", *base, "--encoder_overrides", TINY,
+                  "--data_dir", data, "--topk", "5",
+                  "--per_device_eval_batch_size", "16",
+                  "--output", out_tsv]
+    main([*serve_base, "--queries", str(raw / "queries.dev.small.tsv")])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["queries"] == 16 and summary["corpus_rows"] == 64
+    rows = [l.split("\t") for l in open(out_tsv).read().splitlines()]
+    assert len(rows) == 16 * 5 and all(len(r) == 3 for r in rows)
+    # ranks are 1..k per query, pids within the corpus
+    by_q = {}
+    for qid, pid, rank in rows:
+        by_q.setdefault(qid, []).append(int(rank))
+        assert 0 <= int(pid) < 64
+    assert all(r == list(range(1, 6)) for r in by_q.values())
+    # the output feeds the official scorer directly
+    from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
+    metrics = compute_metrics_from_files(str(raw / "qrels.dev.small.tsv"),
+                                         out_tsv)
+    assert np.isfinite(metrics["MRR @10"])
+
+    # pre-tokenized query-cache path + int8 corpus: same output shape
+    main([*serve_base, "--query_cache", os.path.join(data, "dev-query"),
+          "--quantize", "dims", "--with_scores"])
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["queries"] == 16
+    rows2 = [l.split("\t") for l in open(out_tsv).read().splitlines()]
+    assert all(len(r) == 4 for r in rows2)  # scores column present
+    scores = [float(r[3]) for r in rows2]
+    assert all(np.isfinite(s) for s in scores)
