@@ -531,6 +531,13 @@ def cmd_serve(args):
     from ance_tpu.train import checkpoint as ckpt
     from ance_tpu.train.encode import encode_cache, make_encode_fn
 
+    if not args.queries and not args.query_cache:
+        raise SystemExit("serve needs a query source: --queries (raw TSV) "
+                         "or --query_cache (tokenized cache)")
+    if not args.emb_prefix and not args.data_dir:
+        raise SystemExit("serve needs a corpus source: --emb_prefix (infer "
+                         "dump) or --data_dir (token cache to encode)")
+
     spec, model = _build_model(args)
     L = args.max_query_length
     params = jax.jit(model.init)(jax.random.PRNGKey(0),

@@ -132,3 +132,12 @@ def test_cli_serve_end_to_end(tmp_path, capsys):
     assert all(len(r) == 4 for r in rows2)  # scores column present
     scores = [float(r[3]) for r in rows2]
     assert all(np.isfinite(s) for s in scores)
+
+
+def test_cli_serve_missing_sources_error(tmp_path):
+    base = ["serve", "--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path)]
+    with pytest.raises(SystemExit, match="query source"):
+        main([*base, "--data_dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="corpus source"):
+        main([*base, "--queries", str(tmp_path / "q.tsv")])
