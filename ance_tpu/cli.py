@@ -569,10 +569,18 @@ def cmd_serve(args):
             emb, e2id = encode_cache(bfn, params, pc,
                                      args.per_device_eval_batch_size,
                                      multichunk=spec.multichunk)
-    index = FlatIPIndex(
-        dim=emb.shape[1],
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        quantize=False if args.quantize == "none" else args.quantize)
+    if args.index == "ivf":
+        from ance_tpu.index.ivf import IVFIPIndex
+        if args.quantize != "none":
+            raise SystemExit("--quantize applies to the flat index only")
+        index = IVFIPIndex(dim=emb.shape[1], nlist=args.nlist,
+                           nprobe=args.nprobe,
+                           dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    else:
+        index = FlatIPIndex(
+            dim=emb.shape[1],
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            quantize=False if args.quantize == "none" else args.quantize)
     index.add(emb)
 
     tokenizer = None
@@ -751,6 +759,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query_cache", default=None,
                    help="pre-tokenized query cache (offsets become qids)")
     p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--index", default="flat", choices=["flat", "ivf"],
+                   help="flat = exact search; ivf = TPU-native approximate "
+                        "(clustered) search — the MXU-friendly answer to "
+                        "FAISS HNSW for high-QPS serving")
+    p.add_argument("--nlist", type=int, default=None,
+                   help="IVF cluster count (default √N)")
+    p.add_argument("--nprobe", type=int, default=8,
+                   help="IVF clusters searched per query (recall/speed knob)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "dims", "rows"],
                    help="int8 corpus storage (dims folds scales into the "

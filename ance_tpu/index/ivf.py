@@ -1,0 +1,248 @@
+"""IVF (inverted-file) approximate inner-product index — TPU-native.
+
+The reference ships an (unused-by-drivers) approximate index for
+serving-style ANN: FAISS ``IndexHNSWFlat`` behind ``DenseHNSWFlatIndexer``
+(reference utils/dpr_utils.py:164-228).  HNSW is a pointer-chasing graph —
+the worst possible shape for a TPU (serial dependent loads, no batching, no
+MXU).  The TPU-native answer to the same capability is IVF: cluster the
+corpus once, then answer a query by scoring it against the centroids and
+exhaustively searching only the ``nprobe`` nearest clusters.  Every stage is
+a batched matmul or a bounded gather, so it runs entirely on device:
+
+  * **train** — spherical k-means (Lloyd) on device: assignment is one
+    [N, nlist] matmul per iteration, the update a ``segment_sum``.
+  * **layout** — clusters are packed into a static ``[nlist, capacity, D]``
+    tensor (ids ``[nlist, capacity]``, −1-padded).  Assignment is
+    capacity-constrained (host-side greedy spill to the next-nearest
+    centroid with space), so memory is ``slack × N`` rows regardless of how
+    unbalanced k-means came out, and no row is ever dropped.
+  * **search** — [Q, nlist] centroid scores → top-``nprobe`` bins → gather
+    ``[q, nprobe·capacity, D]`` (scanned over query chunks to bound peak
+    memory) → masked top-k.  Cost per query is ``nprobe·capacity`` rows
+    instead of N: at nlist=1024, nprobe=32 that is ~4% of the exact search.
+
+Approximation contract: recall depends on the corpus actually clustering
+(LayerNorm'd encoder embeddings do; isotropic random vectors do not — see
+tests).  The exact index (``flat.FlatIPIndex``) remains the parity surface
+for mining/eval; IVF is the beyond-parity serving option, selected in the
+CLI with ``serve --index ivf``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ance_tpu.index.flat import NEG_INF
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans(sample: jax.Array, init: jax.Array, *, nlist: int, iters: int):
+    """Spherical k-means: unit centroids, assignment by inner product.
+    Returns centroids [nlist, D] fp32 (unit rows)."""
+    x = sample.astype(jnp.float32)
+
+    def normalize(c):
+        return c / jnp.maximum(jnp.linalg.norm(c, axis=1, keepdims=True),
+                               1e-12)
+
+    def step(c, _):
+        assign = jnp.argmax(x @ c.T, axis=1)                 # [N]
+        sums = jax.ops.segment_sum(x, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32),
+                                     assign, num_segments=nlist)
+        # empty clusters keep their previous centroid instead of collapsing
+        new = jnp.where(counts[:, None] > 0,
+                        sums / jnp.maximum(counts[:, None], 1.0), c)
+        return normalize(new), None
+
+    c, _ = jax.lax.scan(step, normalize(init), None, length=iters)
+    return c
+
+
+def _pack_bins(assign_scores: np.ndarray, capacity: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Capacity-constrained assignment: every row goes to its best-scoring
+    centroid with space; rows that overflow a full cluster spill to their
+    next-nearest.  Returns (bin_ids [nlist, capacity] row indices, −1-padded;
+    counts [nlist]).  No row is dropped (total capacity ≥ N is the caller's
+    ``slack`` guarantee).
+
+    Vectorized for the common case: top-1 assignment + per-cluster
+    keep-the-strongest is pure numpy; only the overflow rows (usually a few
+    percent) take the Python greedy path with a full preference order."""
+    n, nlist = assign_scores.shape
+    best = np.argmax(assign_scores, axis=1)                   # [N]
+    best_score = assign_scores[np.arange(n), best]
+    # rows grouped by cluster, strongest first within each cluster
+    by_cluster = np.lexsort((-best_score, best))
+    counts = np.bincount(best, minlength=nlist)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    bins = np.full((nlist, capacity), -1, np.int64)
+    spilled = []
+    for c in np.nonzero(counts)[0]:
+        members = by_cluster[starts[c]:starts[c] + counts[c]]
+        keep = members[:capacity]
+        bins[c, :len(keep)] = keep
+        spilled.extend(members[capacity:])
+    counts = np.minimum(counts, capacity)
+    if spilled:
+        spilled = np.asarray(spilled)
+        order = np.argsort(assign_scores[spilled], axis=1)[:, ::-1]
+        for i in np.argsort(-best_score[spilled]):
+            for c in order[i]:
+                if counts[c] < capacity:
+                    bins[c, counts[c]] = spilled[i]
+                    counts[c] += 1
+                    break
+            else:  # pragma: no cover - caller guarantees capacity ≥ N
+                raise RuntimeError("total bin capacity exhausted")
+    return bins, counts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nprobe", "query_chunk"))
+def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
+                nprobe: int, query_chunk: int):
+    """queries [Q, D] → (scores [Q, k] fp32, ids [Q, k] int32 global, −1 pad).
+
+    Scanned over query chunks so the gathered working set stays at
+    ``query_chunk · nprobe · capacity`` rows.
+    """
+    Q, D = queries.shape
+    nlist, cap = bins_ids.shape
+    qf = queries.astype(jnp.float32)
+    pad = (-Q) % query_chunk
+    if pad:
+        qf = jnp.concatenate([qf, jnp.zeros((pad, D), jnp.float32)])
+    chunks = qf.reshape(-1, query_chunk, D)
+
+    def body(_, qc):
+        cscores = qc @ centroids.T                           # [qc, nlist]
+        _, probe = jax.lax.top_k(cscores, nprobe)            # [qc, nprobe]
+        emb = bins_emb[probe].astype(jnp.float32)            # [qc, np, cap, D]
+        ids = bins_ids[probe].reshape(qc.shape[0], -1)       # [qc, np·cap]
+        emb = emb.reshape(qc.shape[0], -1, D)
+        s = jnp.einsum("qd,qrd->qr", qc, emb,
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(ids >= 0, s, NEG_INF)
+        top_s, pos = jax.lax.top_k(s, k)
+        top_i = jnp.take_along_axis(ids, pos, axis=1).astype(jnp.int32)
+        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+        return None, (top_s, top_i)
+
+    _, (scores, ids) = jax.lax.scan(body, None, chunks)
+    scores = scores.reshape(-1, k)[:Q]
+    ids = ids.reshape(-1, k)[:Q]
+    return scores, ids
+
+
+class IVFIPIndex:
+    """Approximate inner-product index: k-means clusters + probed search.
+
+    Drop-in for ``FlatIPIndex`` where approximation is acceptable (serving);
+    same ``search(queries, k) → (scores, ids)`` contract, −1-padded ids.
+
+    ``nlist``: number of clusters (√N is a good default, set by ``add`` when
+    None).  ``nprobe``: clusters searched per query — the recall/speed knob.
+    ``slack``: total bin capacity as a multiple of N; rows that overflow a
+    full cluster spill to their next-nearest centroid, so higher slack means
+    fewer displaced rows (better recall at equal nprobe), more HBM.
+    """
+
+    def __init__(self, dim: int, nlist: Optional[int] = None,
+                 nprobe: int = 8, dtype=jnp.bfloat16, *,
+                 slack: float = 1.3, kmeans_iters: int = 10,
+                 train_sample: int = 262_144, query_chunk: int = 64,
+                 seed: int = 0):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.dtype = dtype
+        self.slack = slack
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self.query_chunk = query_chunk
+        self.seed = seed
+        self.centroids: Optional[jax.Array] = None
+        self._bins_emb: Optional[jax.Array] = None
+        self._bins_ids: Optional[jax.Array] = None
+        self._ntotal = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    @property
+    def capacity(self) -> Optional[int]:
+        return None if self._bins_ids is None else self._bins_ids.shape[1]
+
+    def train(self, sample) -> None:
+        """Fit centroids with spherical k-means on (a subsample of) the
+        corpus.  Called implicitly by ``add`` when untrained."""
+        sample = np.asarray(sample, np.float32)
+        if self.nlist is None:
+            self.nlist = max(1, int(round(np.sqrt(len(sample)))))
+        if len(sample) > self.train_sample:
+            rs = np.random.RandomState(self.seed)
+            sample = sample[rs.choice(len(sample), self.train_sample,
+                                      replace=False)]
+        if len(sample) < self.nlist:
+            raise ValueError(f"training sample ({len(sample)} rows) smaller "
+                             f"than nlist={self.nlist}")
+        rs = np.random.RandomState(self.seed + 1)
+        init = sample[rs.choice(len(sample), self.nlist, replace=False)]
+        self.centroids = _kmeans(jnp.asarray(sample), jnp.asarray(init),
+                                 nlist=self.nlist, iters=self.kmeans_iters)
+
+    def add(self, embeddings) -> None:
+        """(Re)build the packed bins from the full corpus."""
+        emb = np.asarray(embeddings, np.float32)
+        if self.centroids is None:
+            self.train(emb)
+        n = len(emb)
+        cap = max(1, int(np.ceil(self.slack * n / self.nlist)))
+        # score every row against every centroid on device, pack on host
+        scores = np.asarray(
+            jnp.asarray(emb) @ self.centroids.T)             # [N, nlist]
+        bins, _ = _pack_bins(scores, cap)
+        packed = np.zeros((self.nlist, cap, self.dim), np.float32)
+        valid = bins >= 0
+        packed[valid] = emb[bins[valid]]
+        self._bins_emb = jnp.asarray(packed, self.dtype)
+        self._bins_ids = jnp.asarray(bins, jnp.int32)
+        self._ntotal = n
+
+    def reset(self) -> None:
+        self._bins_emb = self._bins_ids = None
+        self._ntotal = 0
+
+    def search(self, queries, k: int, nprobe: Optional[int] = None):
+        if self._bins_emb is None:
+            raise ValueError("index is empty; call add() first")
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        q = jnp.asarray(queries, jnp.float32)
+        k_eff = min(k, self._bins_ids.shape[1] * nprobe)
+        scores, ids = _ivf_search(
+            q, self.centroids, self._bins_emb, self._bins_ids,
+            k=k_eff, nprobe=nprobe,
+            query_chunk=min(self.query_chunk, max(1, q.shape[0])))
+        if k_eff < k:  # pad out to the requested k (FAISS −1 convention)
+            pad_s = jnp.full((q.shape[0], k - k_eff), NEG_INF, jnp.float32)
+            pad_i = jnp.full((q.shape[0], k - k_eff), -1, jnp.int32)
+            scores = jnp.concatenate([scores, pad_s], axis=1)
+            ids = jnp.concatenate([ids, pad_i], axis=1)
+        return scores, ids
+
+    def recall_against_exact(self, queries, k: int,
+                             exact_ids: np.ndarray) -> float:
+        """Fraction of the exact top-k retrieved (diagnostic)."""
+        _, ids = self.search(queries, k)
+        ids = np.asarray(ids)
+        hits = sum(len(set(ids[i].tolist()) & set(exact_ids[i].tolist()))
+                   for i in range(len(ids)))
+        return hits / float(exact_ids.shape[0] * k)

@@ -133,6 +133,23 @@ def test_cli_serve_end_to_end(tmp_path, capsys):
     scores = [float(r[3]) for r in rows2]
     assert all(np.isfinite(s) for s in scores)
 
+    # IVF (approximate) index path: same output contract; nprobe = nlist
+    # makes it exhaustive, so results match the flat index up to fp32
+    # summation-order ties at the k boundary
+    main([*serve_base, "--queries", str(raw / "queries.dev.small.tsv"),
+          "--index", "ivf", "--nlist", "8", "--nprobe", "8"])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows3 = [l.split("\t") for l in open(out_tsv).read().splitlines()]
+    flat_by_q, ivf_by_q = {}, {}
+    for qid, pid, rank in (r[:3] for r in rows):
+        flat_by_q.setdefault(qid, []).append(pid)
+    for qid, pid, rank in (r[:3] for r in rows3):
+        ivf_by_q.setdefault(qid, []).append(pid)
+    assert set(flat_by_q) == set(ivf_by_q)
+    for qid in flat_by_q:
+        assert ivf_by_q[qid][0] == flat_by_q[qid][0]  # top-1 identical
+        assert len(set(ivf_by_q[qid]) & set(flat_by_q[qid])) >= 4
+
 
 def test_cli_serve_missing_sources_error(tmp_path):
     base = ["serve", "--model_type", "seeddot_nll",
