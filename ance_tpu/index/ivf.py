@@ -110,8 +110,9 @@ def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
                 nprobe: int, query_chunk: int):
     """queries [Q, D] → (scores [Q, k] fp32, ids [Q, k] int32 global, −1 pad).
 
-    Scanned over query chunks so the gathered working set stays at
-    ``query_chunk · nprobe · capacity`` rows.
+    Doubly scanned — outer over query chunks, inner over probe columns with
+    a running top-k merge — so the gathered working set is bounded at
+    ``query_chunk · capacity`` rows regardless of nprobe.
     """
     Q, D = queries.shape
     nlist, cap = bins_ids.shape
@@ -120,22 +121,32 @@ def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
     if pad:
         qf = jnp.concatenate([qf, jnp.zeros((pad, D), jnp.float32)])
     chunks = qf.reshape(-1, query_chunk, D)
+    qdtype = bins_emb.dtype  # score at storage precision, fp32 accumulate
 
-    def body(_, qc):
+    def chunk_body(_, qc):
         cscores = qc @ centroids.T                           # [qc, nlist]
         _, probe = jax.lax.top_k(cscores, nprobe)            # [qc, nprobe]
-        emb = bins_emb[probe].astype(jnp.float32)            # [qc, np, cap, D]
-        ids = bins_ids[probe].reshape(qc.shape[0], -1)       # [qc, np·cap]
-        emb = emb.reshape(qc.shape[0], -1, D)
-        s = jnp.einsum("qd,qrd->qr", qc, emb,
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(ids >= 0, s, NEG_INF)
-        top_s, pos = jax.lax.top_k(s, k)
-        top_i = jnp.take_along_axis(ids, pos, axis=1).astype(jnp.int32)
+        qe = qc.astype(qdtype)
+
+        def probe_body(carry, probe_col):                    # [qc] bin ids
+            best_s, best_i = carry
+            emb = bins_emb[probe_col]                        # [qc, cap, D]
+            ids = bins_ids[probe_col]                        # [qc, cap]
+            s = jnp.einsum("qd,qcd->qc", qe, emb,
+                           preferred_element_type=jnp.float32)
+            s = jnp.where(ids >= 0, s, NEG_INF)
+            cat_s = jnp.concatenate([best_s, s], axis=1)
+            cat_i = jnp.concatenate([best_i, ids], axis=1)
+            new_s, pos = jax.lax.top_k(cat_s, k)
+            return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+        init = (jnp.full((qc.shape[0], k), NEG_INF, jnp.float32),
+                jnp.full((qc.shape[0], k), -1, jnp.int32))
+        (top_s, top_i), _ = jax.lax.scan(probe_body, init, probe.T)
         top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
         return None, (top_s, top_i)
 
-    _, (scores, ids) = jax.lax.scan(body, None, chunks)
+    _, (scores, ids) = jax.lax.scan(chunk_body, None, chunks)
     scores = scores.reshape(-1, k)[:Q]
     ids = ids.reshape(-1, k)[:Q]
     return scores, ids
