@@ -363,18 +363,12 @@ def cmd_generate(args, inference_only=False):
         load_offset_qrels, positives_from_qrels)
     from ance_tpu.train.ann_gen import AnnGenConfig, generate_new_ann
     from ance_tpu.train.encode import make_encode_fn
-    from ance_tpu.train import checkpoint as ckpt
-    import jax.numpy as jnp
 
     spec, model = _build_model(args)
     L = args.max_query_length
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((2, L), jnp.int32),
-                                 jnp.ones((2, L), jnp.int32))["params"]
-    ckpt_path, step = ckpt.get_latest_checkpoint(args.training_dir,
-                                                 args.init_model_dir)
-    if ckpt_path and ckpt.is_complete(ckpt_path):
-        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+    params = _init_params(model, L)
+    params, ckpt_path, step = _load_latest_params(
+        params, args.training_dir, args.init_model_dir)
 
     qfn = make_encode_fn(model, type(model).query_emb)
     body_method = type(model).body_emb_multichunk if spec.multichunk \
@@ -428,24 +422,17 @@ def cmd_generate(args, inference_only=False):
 
 
 def cmd_generate_dpr(args):
-    import jax
-    import jax.numpy as jnp
     from ance_tpu.data.cache import TokenCache
     from ance_tpu.data.dpr import (
         load_answers, load_mapping, load_passage_texts, load_positive_ids)
-    from ance_tpu.train import checkpoint as ckpt
     from ance_tpu.train.dpr_gen import generate_new_ann_dpr
     from ance_tpu.train.encode import make_encode_fn
 
     spec, model = _build_model(args)
     L = args.max_seq_length
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((2, L), jnp.int32),
-                                 jnp.ones((2, L), jnp.int32))["params"]
-    ckpt_path, _ = ckpt.get_latest_checkpoint(args.training_dir,
-                                              args.init_model_dir)
-    if ckpt_path and ckpt.is_complete(ckpt_path):
-        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+    params = _init_params(model, L)
+    params, ckpt_path, _ = _load_latest_params(
+        params, args.training_dir, args.init_model_dir)
 
     pid2offset, _ = load_mapping(args.data_dir, "pid2offset")
     raw = load_passage_texts(args.wiki_path)
@@ -514,21 +501,68 @@ def cmd_eval_full(args):
                                        topn=args.topn)))
 
 
+def _init_params(model, seq_len: int):
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(model.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((2, seq_len), jnp.int32),
+                               jnp.ones((2, seq_len), jnp.int32))["params"]
+
+
+def _load_latest_params(params, training_dir, init_model_dir):
+    """Load the newest COMPLETE checkpoint onto ``params``.  Returns
+    (params, ckpt_path, step); ckpt_path is None when nothing complete
+    exists (params stay as given, step still reflects the newest dir so
+    generators number their outputs consistently)."""
+    from ance_tpu.train import checkpoint as ckpt
+    path, step = None, 0
+    if training_dir or init_model_dir:
+        path, step = ckpt.get_latest_checkpoint(training_dir or "",
+                                                init_model_dir)
+    if path and ckpt.is_complete(path):
+        params, _, _ = ckpt.load_checkpoint(path, params)
+        return params, path, step
+    return params, None, step
+
+
+def _offset2id_lookup(data_dir, stem):
+    """offset → real-id lookup array from ``<stem>.pickle`` (MS MARCO,
+    preprocess.py) or the text ``<stem>`` mapping (DPR, data/dpr.py).
+    Returns None when no map exists.  Offsets are contiguous 0..N−1 by
+    construction (merge_split_files), so an array is exact."""
+    import numpy as np
+    if not data_dir:
+        return None
+    pkl = os.path.join(data_dir, stem + ".pickle")
+    txt = os.path.join(data_dir, stem)
+    if os.path.exists(pkl):
+        from ance_tpu.data.preprocess import load_id_map
+        mapping = load_id_map(pkl)
+    elif os.path.exists(txt):
+        from ance_tpu.data.dpr import load_mapping
+        mapping, _ = load_mapping(data_dir, stem)
+    else:
+        return None
+    arr = np.full(max(mapping.values()) + 1, -1, np.int64)
+    for real, off in mapping.items():
+        arr[off] = real
+    return arr
+
+
 def cmd_serve(args):
     """Batch retrieval serving: frozen encoder + device-resident exact index
     behind one command — the serving capability behind the reference's
     ~100× cascade-speedup claim (reference README.md:16-17). Corpus
     embeddings come from an ``infer`` dump (--emb_prefix) or are encoded
     fresh from the --data_dir token cache. Emits ``qid\\tpid\\trank`` lines
-    (the official scorer's candidate format; add scores with
-    --with_scores)."""
-    import jax
+    in REAL id space (offsets are mapped back through pid2offset /
+    qid2offset, so the output feeds the official scorer directly; add
+    scores with --with_scores)."""
     import jax.numpy as jnp
     import numpy as np
     from ance_tpu.data.cache import TokenCache
     from ance_tpu.index.flat import FlatIPIndex
     from ance_tpu.serve import Retriever
-    from ance_tpu.train import checkpoint as ckpt
     from ance_tpu.train.encode import encode_cache, make_encode_fn
 
     if not args.queries and not args.query_cache:
@@ -537,21 +571,26 @@ def cmd_serve(args):
     if not args.emb_prefix and not args.data_dir:
         raise SystemExit("serve needs a corpus source: --emb_prefix (infer "
                          "dump) or --data_dir (token cache to encode)")
+    if args.index != "ivf" and (args.nlist is not None or args.nprobe != 8):
+        raise SystemExit("--nlist/--nprobe apply to --index ivf only")
 
     spec, model = _build_model(args)
     L = args.max_query_length
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((2, L), jnp.int32),
-                                 jnp.ones((2, L), jnp.int32))["params"]
-    ckpt_path = None
-    if args.training_dir or args.init_model_dir:
-        ckpt_path, _ = ckpt.get_latest_checkpoint(args.training_dir or "",
-                                                  args.init_model_dir)
-    if ckpt_path and ckpt.is_complete(ckpt_path):
-        params, _, _ = ckpt.load_checkpoint(ckpt_path, params)
+    params = _init_params(model, L)
+    params, ckpt_path, _ = _load_latest_params(
+        params, args.training_dir, args.init_model_dir)
+    if ckpt_path:
+        params_source = ckpt_path
     elif args.model_name_or_path and os.path.isdir(args.model_name_or_path) \
             and _torch_ckpt_file(args.model_name_or_path):
         params = _warm_start_params(spec, params, args.model_name_or_path)
+        params_source = args.model_name_or_path
+    else:
+        params_source = "<random-init>"
+        print("WARNING: serve found no complete checkpoint "
+              f"(--training_dir={args.training_dir!r}) and no torch "
+              "warm-start — serving RANDOM encoder params; rankings will "
+              "be garbage unless this is a smoke test", file=sys.stderr)
 
     if args.emb_prefix:
         from ance_tpu.evaluation.offline import load_embedding_shards
@@ -569,6 +608,22 @@ def cmd_serve(args):
             emb, e2id = encode_cache(bfn, params, pc,
                                      args.per_device_eval_batch_size,
                                      multichunk=spec.multichunk)
+
+    # embedding rows carry cache OFFSETS; the scorer needs real passage ids
+    off2pid = _offset2id_lookup(args.data_dir, "pid2offset")
+    pid_space = "real"
+    if off2pid is not None:
+        e2id = off2pid[np.asarray(e2id, np.int64)]
+        if (e2id < 0).any():
+            raise SystemExit("embedding ids not covered by pid2offset — "
+                             "emb dump and --data_dir disagree")
+    else:
+        pid_space = "offset"
+        print("WARNING: no pid2offset map found under --data_dir; emitted "
+              "pids are cache offsets (equal to real pids only when the "
+              "collection ids are already 0..N-1 in file order)",
+              file=sys.stderr)
+
     if args.index == "ivf":
         from ance_tpu.index.ivf import IVFIPIndex
         if args.quantize != "none":
@@ -597,16 +652,41 @@ def cmd_serve(args):
     n_q = 0
     if args.query_cache:
         from ance_tpu.train.encode import iter_cache_batches
+        # cache keys are offsets; recover THIS split's real qids via the
+        # per-split map (qid2offset.pickle is overwritten per split)
+        qdir = os.path.dirname(args.query_cache) or "."
+        qstem = os.path.basename(args.query_cache)
+        off2qid = (_offset2id_lookup(qdir, f"{qstem}_qid2offset")
+                   if qstem else None)
+        if off2qid is None:
+            off2qid = _offset2id_lookup(qdir, "qid2offset")
+        if off2qid is None:
+            print("WARNING: no qid2offset map next to --query_cache; "
+                  "emitted qids are cache offsets", file=sys.stderr)
         with TokenCache(args.query_cache) as qc:
             for keys, ids, mask in iter_cache_batches(qc, B):
                 scores, pids = retriever.search_tokens(ids[:len(keys)],
                                                        mask[:len(keys)],
                                                        args.topk)
-                _write_ranking(out, keys, pids, scores, args.with_scores)
+                qids = keys if off2qid is None else \
+                    [int(off2qid[k]) for k in keys]
+                _write_ranking(out, qids, pids, scores, args.with_scores)
                 n_q += len(keys)
     else:
+        rows = []
         with open(args.queries, encoding="utf-8") as f:
-            rows = [line.rstrip("\n").split("\t") for line in f if line.strip()]
+            for lineno, line in enumerate(f, 1):
+                if not line.strip():
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 2 or not parts[0].lstrip("-").isdigit():
+                    if lineno == 1:  # exported files often carry a header
+                        print(f"note: skipping header line in "
+                              f"{args.queries}", file=sys.stderr)
+                        continue
+                    raise SystemExit(f"{args.queries}:{lineno}: expected "
+                                     f"'qid\\ttext', got {line.rstrip()!r}")
+                rows.append(parts)
         for s in range(0, len(rows), B):
             chunk = rows[s:s + B]
             qids = [int(r[0]) for r in chunk]
@@ -617,6 +697,7 @@ def cmd_serve(args):
         out.close()
         print(json.dumps({"queries": n_q, "topk": args.topk,
                           "corpus_rows": int(index.ntotal),
+                          "params": params_source, "pid_space": pid_space,
                           "output": args.output}))
 
 

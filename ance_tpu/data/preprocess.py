@@ -165,6 +165,12 @@ def write_query_rel(cfg: PreprocessConfig, pid2offset: dict,
     _cleanup_splits(out_query_path, cfg.num_processes)
     _save_id_map(os.path.join(cfg.out_data_dir, "qid2offset.pickle"),
                  qid2offset)
+    # per-split copy: qid2offset.pickle is overwritten by each split
+    # (reference quirk, msmarco_data.py:87-89) — serving needs to recover
+    # THIS split's real qids from cache offsets
+    _save_id_map(os.path.join(cfg.out_data_dir,
+                              f"{out_query_file}_qid2offset.pickle"),
+                 qid2offset)
 
     with open(os.path.join(cfg.out_data_dir, out_id_file), "w") as out:
         for topicid, docid, rel in _read_qrels(cfg, qrels_path):

@@ -64,20 +64,19 @@ def _kmeans(sample: jax.Array, init: jax.Array, *, nlist: int, iters: int):
     return c
 
 
-def _pack_bins(assign_scores: np.ndarray, capacity: int
-               ) -> tuple[np.ndarray, np.ndarray]:
+def _pack_bins_from(best: np.ndarray, best_score: np.ndarray,
+                    capacity: int, nlist: int, spill_order_fn
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Capacity-constrained assignment: every row goes to its best-scoring
     centroid with space; rows that overflow a full cluster spill to their
     next-nearest.  Returns (bin_ids [nlist, capacity] row indices, −1-padded;
     counts [nlist]).  No row is dropped (total capacity ≥ N is the caller's
     ``slack`` guarantee).
 
-    Vectorized for the common case: top-1 assignment + per-cluster
-    keep-the-strongest is pure numpy; only the overflow rows (usually a few
-    percent) take the Python greedy path with a full preference order."""
-    n, nlist = assign_scores.shape
-    best = np.argmax(assign_scores, axis=1)                   # [N]
-    best_score = assign_scores[np.arange(n), best]
+    Only ``best``/``best_score`` [N] are needed up front — O(N·nlist) score
+    material is computed lazily by ``spill_order_fn(rows) → [S, nlist]
+    preference order`` for the (usually few) overflow rows."""
+    n = len(best)
     # rows grouped by cluster, strongest first within each cluster
     by_cluster = np.lexsort((-best_score, best))
     counts = np.bincount(best, minlength=nlist)
@@ -92,7 +91,7 @@ def _pack_bins(assign_scores: np.ndarray, capacity: int
     counts = np.minimum(counts, capacity)
     if spilled:
         spilled = np.asarray(spilled)
-        order = np.argsort(assign_scores[spilled], axis=1)[:, ::-1]
+        order = spill_order_fn(spilled)
         for i in np.argsort(-best_score[spilled]):
             for c in order[i]:
                 if counts[c] < capacity:
@@ -102,6 +101,17 @@ def _pack_bins(assign_scores: np.ndarray, capacity: int
             else:  # pragma: no cover - caller guarantees capacity ≥ N
                 raise RuntimeError("total bin capacity exhausted")
     return bins, counts
+
+
+def _pack_bins(assign_scores: np.ndarray, capacity: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Small-N convenience wrapper over ``_pack_bins_from`` taking the full
+    [N, nlist] score matrix (tests / tiny corpora)."""
+    best = np.argmax(assign_scores, axis=1)
+    best_score = assign_scores[np.arange(len(best)), best]
+    return _pack_bins_from(
+        best, best_score, capacity, assign_scores.shape[1],
+        lambda rows: np.argsort(assign_scores[rows], axis=1)[:, ::-1])
 
 
 @functools.partial(jax.jit,
@@ -183,6 +193,7 @@ class IVFIPIndex:
         self._bins_emb: Optional[jax.Array] = None
         self._bins_ids: Optional[jax.Array] = None
         self._ntotal = 0
+        self._pinned = False  # True after an explicit train() call
 
     @property
     def ntotal(self) -> int:
@@ -194,7 +205,14 @@ class IVFIPIndex:
 
     def train(self, sample) -> None:
         """Fit centroids with spherical k-means on (a subsample of) the
-        corpus.  Called implicitly by ``add`` when untrained."""
+        corpus, and PIN them: subsequent ``add`` calls reuse these centroids
+        (for an explicitly shared clustering across rebuilds).  Without an
+        explicit ``train``, every ``add`` refits on the data it is given, so
+        refreshed embeddings are never clustered by a stale distribution."""
+        self._fit(sample)
+        self._pinned = True
+
+    def _fit(self, sample) -> None:
         sample = np.asarray(sample, np.float32)
         if self.nlist is None:
             self.nlist = max(1, int(round(np.sqrt(len(sample)))))
@@ -210,17 +228,37 @@ class IVFIPIndex:
         self.centroids = _kmeans(jnp.asarray(sample), jnp.asarray(init),
                                  nlist=self.nlist, iters=self.kmeans_iters)
 
+    _ASSIGN_CHUNK = 65_536  # [chunk, nlist] score material per dispatch
+
+    def _centroid_scores(self, emb: np.ndarray) -> np.ndarray:
+        return np.asarray(jnp.asarray(emb) @ self.centroids.T)
+
     def add(self, embeddings) -> None:
-        """(Re)build the packed bins from the full corpus."""
+        """(Re)build the packed bins from the full corpus.  Refits centroids
+        unless they were pinned by an explicit ``train``.  Device memory is
+        bounded: assignment streams the corpus in ``_ASSIGN_CHUNK``-row
+        chunks, so the [N, nlist] score matrix is never materialized (host
+        peak is the packed fp32 bins, ≈ slack·N·D·4 bytes)."""
         emb = np.asarray(embeddings, np.float32)
-        if self.centroids is None:
-            self.train(emb)
+        if self.centroids is None or not self._pinned:
+            self._fit(emb)
         n = len(emb)
         cap = max(1, int(np.ceil(self.slack * n / self.nlist)))
-        # score every row against every centroid on device, pack on host
-        scores = np.asarray(
-            jnp.asarray(emb) @ self.centroids.T)             # [N, nlist]
-        bins, _ = _pack_bins(scores, cap)
+        best = np.empty(n, np.int64)
+        best_score = np.empty(n, np.float32)
+        for s in range(0, n, self._ASSIGN_CHUNK):
+            sc = self._centroid_scores(emb[s:s + self._ASSIGN_CHUNK])
+            best[s:s + len(sc)] = sc.argmax(axis=1)
+            best_score[s:s + len(sc)] = sc.max(axis=1)
+
+        def spill_order(rows):
+            parts = [np.argsort(self._centroid_scores(
+                emb[rows[s:s + self._ASSIGN_CHUNK]]), axis=1)[:, ::-1]
+                for s in range(0, len(rows), self._ASSIGN_CHUNK)]
+            return np.concatenate(parts, axis=0)
+
+        bins, _ = _pack_bins_from(best, best_score, cap, self.nlist,
+                                  spill_order)
         packed = np.zeros((self.nlist, cap, self.dim), np.float32)
         valid = bins >= 0
         packed[valid] = emb[bins[valid]]

@@ -151,6 +151,52 @@ def test_cli_serve_end_to_end(tmp_path, capsys):
         assert len(set(ivf_by_q[qid]) & set(flat_by_q[qid])) >= 4
 
 
+def test_cli_serve_emits_real_ids(tmp_path, capsys):
+    """Rankings must carry REAL ids, not cache offsets: collection pids here
+    are 1000+i (offset i), and the --query_cache path must recover the real
+    dev qids (32..47) from the per-split qid2offset map."""
+    words = [f"word{i}" for i in range(40)]
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words:
+            f.write(t + "\n")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rs = np.random.RandomState(0)
+    with open(raw / "collection.tsv", "w") as col:
+        for i in range(64):
+            toks = " ".join(words[j] for j in rs.randint(0, 40, 6))
+            col.write(f"{1000 + i}\t{toks}\n")
+    for split, n0, n1 in (("train", 0, 32), ("dev.small", 32, 48)):
+        with open(raw / f"queries.{split}.tsv", "w") as q, \
+                open(raw / f"qrels.{split}.tsv", "w") as r:
+            for qid in range(n0, n1):
+                q.write(f"{qid}\tfind {words[qid % 40]}\n")
+                r.write(f"{qid}\t0\t{1000 + qid % 64}\t1\n")
+
+    data = str(tmp_path / "data")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    capsys.readouterr()
+
+    out_tsv = str(tmp_path / "ranks.tsv")
+    main(["serve", *base, "--encoder_overrides", TINY, "--data_dir", data,
+          "--query_cache", os.path.join(data, "dev-query"),
+          "--topk", "3", "--output", out_tsv])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pid_space"] == "real"
+    rows = [l.split("\t") for l in open(out_tsv).read().splitlines()]
+    assert {int(r[0]) for r in rows} == set(range(32, 48))   # real qids
+    assert all(1000 <= int(r[1]) < 1064 for r in rows)       # real pids
+    # and the output scores against the RAW (real-id) qrels
+    from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
+    metrics = compute_metrics_from_files(str(raw / "qrels.dev.small.tsv"),
+                                         out_tsv)
+    assert np.isfinite(metrics["MRR @10"])
+
+
 def test_cli_serve_missing_sources_error(tmp_path):
     base = ["serve", "--model_type", "seeddot_nll",
             "--model_name_or_path", str(tmp_path)]

@@ -96,6 +96,38 @@ def test_ivf_empty_and_retrain():
     assert ivf.ntotal == 0
 
 
+def test_ivf_add_refits_unless_pinned():
+    rs = np.random.RandomState(7)
+    a = _clustered_corpus(rs, n_clusters=4, per_cluster=16, dim=16)
+    b = _clustered_corpus(rs, n_clusters=4, per_cluster=16, dim=16) + 3.0
+
+    ivf = IVFIPIndex(dim=16, nlist=4, nprobe=2, seed=8)
+    ivf.add(a)
+    c_after_a = np.asarray(ivf.centroids)
+    ivf.add(b)  # no explicit train → refit on the refreshed corpus
+    assert not np.allclose(np.asarray(ivf.centroids), c_after_a)
+
+    pinned = IVFIPIndex(dim=16, nlist=4, nprobe=2, seed=8)
+    pinned.train(a)
+    c_pinned = np.asarray(pinned.centroids)
+    pinned.add(b)  # explicit train pins the clustering
+    assert np.allclose(np.asarray(pinned.centroids), c_pinned)
+
+
+def test_ivf_chunked_assignment_matches_small_chunk():
+    """add() streams assignment in chunks; a chunk smaller than the corpus
+    must produce the same bins as one big chunk."""
+    rs = np.random.RandomState(9)
+    corpus = _clustered_corpus(rs, n_clusters=8, per_cluster=32, dim=16)
+    big = IVFIPIndex(dim=16, nlist=8, nprobe=8, seed=10)
+    big.add(corpus)
+    small = IVFIPIndex(dim=16, nlist=8, nprobe=8, seed=10)
+    small._ASSIGN_CHUNK = 17  # non-divisor chunk
+    small.add(corpus)
+    assert np.array_equal(np.asarray(big._bins_ids),
+                          np.asarray(small._bins_ids))
+
+
 def test_ivf_serves_through_retriever():
     """Drop-in behind the serving Retriever (same contract as FlatIPIndex)."""
     from ance_tpu.serve import Retriever
