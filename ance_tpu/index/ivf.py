@@ -36,8 +36,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ance_tpu.index.flat import NEG_INF
+from ance_tpu.index.flat import NEG_INF, merge_topk
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "iters"))
@@ -114,15 +115,15 @@ def _pack_bins(assign_scores: np.ndarray, capacity: int
         lambda rows: np.argsort(assign_scores[rows], axis=1)[:, ::-1])
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "nprobe", "query_chunk"))
-def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
-                nprobe: int, query_chunk: int):
+def _ivf_core(queries, centroids, bins_emb, bins_ids, valid_clusters, *,
+              k: int, nprobe: int, query_chunk: int):
     """queries [Q, D] → (scores [Q, k] fp32, ids [Q, k] int32 global, −1 pad).
 
     Doubly scanned — outer over query chunks, inner over probe columns with
     a running top-k merge — so the gathered working set is bounded at
-    ``query_chunk · capacity`` rows regardless of nprobe.
+    ``query_chunk · capacity`` rows regardless of nprobe.  Cluster rows at
+    index ≥ ``valid_clusters`` (shard padding) are never probed.  Pure
+    traced logic: callable directly under ``shard_map``.
     """
     Q, D = queries.shape
     nlist, cap = bins_ids.shape
@@ -132,9 +133,11 @@ def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
         qf = jnp.concatenate([qf, jnp.zeros((pad, D), jnp.float32)])
     chunks = qf.reshape(-1, query_chunk, D)
     qdtype = bins_emb.dtype  # score at storage precision, fp32 accumulate
+    cluster_ok = jnp.arange(nlist, dtype=jnp.int32) < valid_clusters
 
     def chunk_body(_, qc):
         cscores = qc @ centroids.T                           # [qc, nlist]
+        cscores = jnp.where(cluster_ok[None, :], cscores, NEG_INF)
         _, probe = jax.lax.top_k(cscores, nprobe)            # [qc, nprobe]
         qe = qc.astype(qdtype)
 
@@ -162,6 +165,10 @@ def _ivf_search(queries, centroids, bins_emb, bins_ids, *, k: int,
     return scores, ids
 
 
+_ivf_search = jax.jit(_ivf_core,
+                      static_argnames=("k", "nprobe", "query_chunk"))
+
+
 class IVFIPIndex:
     """Approximate inner-product index: k-means clusters + probed search.
 
@@ -173,10 +180,17 @@ class IVFIPIndex:
     ``slack``: total bin capacity as a multiple of N; rows that overflow a
     full cluster spill to their next-nearest centroid, so higher slack means
     fewer displaced rows (better recall at equal nprobe), more HBM.
+
+    Pass ``mesh`` (+ ``axis``) to shard CLUSTERS across devices: each shard
+    keeps 1/S of the bins in HBM, probes the top ``ceil(nprobe/S)`` of its
+    own clusters, and only [Q, k] candidate sets cross the ICI
+    (``all_gather`` + merge) — memory and probe compute both scale with the
+    mesh.
     """
 
     def __init__(self, dim: int, nlist: Optional[int] = None,
                  nprobe: int = 8, dtype=jnp.bfloat16, *,
+                 mesh: Optional[Mesh] = None, axis: str = "data",
                  slack: float = 1.3, kmeans_iters: int = 10,
                  train_sample: int = 262_144, query_chunk: int = 64,
                  seed: int = 0):
@@ -184,6 +198,8 @@ class IVFIPIndex:
         self.nlist = nlist
         self.nprobe = nprobe
         self.dtype = dtype
+        self.mesh = mesh
+        self.axis = axis
         self.slack = slack
         self.kmeans_iters = kmeans_iters
         self.train_sample = train_sample
@@ -194,6 +210,10 @@ class IVFIPIndex:
         self._bins_ids: Optional[jax.Array] = None
         self._ntotal = 0
         self._pinned = False  # True after an explicit train() call
+        self._search_cache: dict = {}
+
+    def _n_shards(self) -> int:
+        return self.mesh.shape[self.axis] if self.mesh is not None else 1
 
     @property
     def ntotal(self) -> int:
@@ -262,13 +282,70 @@ class IVFIPIndex:
         packed = np.zeros((self.nlist, cap, self.dim), np.float32)
         valid = bins >= 0
         packed[valid] = emb[bins[valid]]
-        self._bins_emb = jnp.asarray(packed, self.dtype)
-        self._bins_ids = jnp.asarray(bins, jnp.int32)
+
+        n_shards = self._n_shards()
+        pad_clusters = (-self.nlist) % n_shards
+        if pad_clusters:  # empty clusters on the last shard, never probed
+            packed = np.concatenate(
+                [packed, np.zeros((pad_clusters, cap, self.dim),
+                                  np.float32)])
+            bins = np.concatenate(
+                [bins, np.full((pad_clusters, cap), -1, np.int64)])
+        centroids = self.centroids
+        if pad_clusters:
+            centroids = jnp.concatenate(
+                [centroids, jnp.zeros((pad_clusters, centroids.shape[1]),
+                                      centroids.dtype)])
+        bins_emb = jnp.asarray(packed, self.dtype)
+        bins_ids = jnp.asarray(bins, jnp.int32)
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(self.axis, None, None))
+            bins_emb = jax.device_put(bins_emb, shard)
+            bins_ids = jax.device_put(
+                bins_ids, NamedSharding(self.mesh, P(self.axis, None)))
+            centroids = jax.device_put(
+                centroids, NamedSharding(self.mesh, P(self.axis, None)))
+        self._bins_emb = bins_emb
+        self._bins_ids = bins_ids
+        self._sharded_centroids = centroids
         self._ntotal = n
+        self._search_cache = {}
 
     def reset(self) -> None:
         self._bins_emb = self._bins_ids = None
         self._ntotal = 0
+        self._search_cache = {}
+
+    def _build_sharded_search(self, k: int, nprobe: int, query_chunk: int):
+        """Cluster-sharded probe: each shard probes the top
+        ``ceil(nprobe / n_shards)`` of ITS OWN clusters and the tiny [Q, k]
+        candidate sets merge via all_gather — the standard distributed-IVF
+        approximation (per-shard probing covers ≥ the global top clusters
+        when cluster→shard placement is uncorrelated with query load).
+        Memory AND probe compute scale with the mesh."""
+        mesh, axis = self.mesh, self.axis
+        n_shards = mesh.shape[axis]
+        per_shard = self._bins_ids.shape[0] // n_shards
+        nprobe_local = min(-(-nprobe // n_shards), per_shard)
+        nlist = self.nlist
+
+        def shard_fn(queries, cents, bins_emb, bins_ids):
+            shard = jax.lax.axis_index(axis)
+            # clusters beyond nlist are shard padding — never probe them
+            valid = jnp.clip(nlist - shard * per_shard, 0, per_shard)
+            s, i = _ivf_core(queries, cents, bins_emb, bins_ids, valid,
+                             k=k, nprobe=nprobe_local,
+                             query_chunk=query_chunk)
+            all_s = jax.lax.all_gather(s, axis)              # [S, Q, k]
+            all_i = jax.lax.all_gather(i, axis)
+            return merge_topk(all_s, all_i, k)
+
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis, None, None),
+                      P(axis, None)),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
 
     def search(self, queries, k: int, nprobe: Optional[int] = None):
         if self._bins_emb is None:
@@ -276,10 +353,18 @@ class IVFIPIndex:
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = jnp.asarray(queries, jnp.float32)
         k_eff = min(k, self._bins_ids.shape[1] * nprobe)
-        scores, ids = _ivf_search(
-            q, self.centroids, self._bins_emb, self._bins_ids,
-            k=k_eff, nprobe=nprobe,
-            query_chunk=min(self.query_chunk, max(1, q.shape[0])))
+        query_chunk = min(self.query_chunk, max(1, q.shape[0]))
+        if self.mesh is not None:
+            key = (k_eff, nprobe, query_chunk)
+            if key not in self._search_cache:
+                self._search_cache[key] = self._build_sharded_search(*key)
+            scores, ids = self._search_cache[key](
+                q, self._sharded_centroids, self._bins_emb, self._bins_ids)
+        else:
+            scores, ids = _ivf_search(
+                q, self.centroids, self._bins_emb, self._bins_ids,
+                jnp.asarray(self.nlist, jnp.int32),
+                k=k_eff, nprobe=nprobe, query_chunk=query_chunk)
         if k_eff < k:  # pad out to the requested k (FAISS −1 convention)
             pad_s = jnp.full((q.shape[0], k - k_eff), NEG_INF, jnp.float32)
             pad_i = jnp.full((q.shape[0], k - k_eff), -1, jnp.int32)

@@ -114,6 +114,37 @@ def test_ivf_add_refits_unless_pinned():
     assert np.allclose(np.asarray(pinned.centroids), c_pinned)
 
 
+def test_ivf_sharded_mesh_search():
+    """Cluster-sharded IVF on an 8-device mesh: exhaustive per-shard probing
+    (nprobe=nlist) must equal exact numpy top-k, and modest nprobe must keep
+    high recall; only [Q, k] candidates cross shards."""
+    import jax
+    from jax.sharding import Mesh
+
+    rs = np.random.RandomState(11)
+    corpus = _clustered_corpus(rs, n_clusters=24, per_cluster=32, dim=32)
+    queries = corpus[rs.choice(len(corpus), 32, replace=False)]
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+
+    import jax.numpy as jnp
+    ivf = IVFIPIndex(dim=32, nlist=26, nprobe=8, seed=12, mesh=mesh,
+                     dtype=jnp.float32)  # 26 clusters over 8 shards → pad 6
+    ivf.add(corpus)
+    assert ivf._bins_ids.shape[0] == 32  # padded to a multiple of 8
+    exact = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+
+    # exhaustive: every shard probes all its clusters
+    _, ids = ivf.search(queries, k=10, nprobe=26)
+    overlap = np.mean([len(set(np.asarray(ids)[i]) & set(exact[i]))
+                       for i in range(len(queries))])
+    assert overlap == 10.0
+
+    _, ids8 = ivf.search(queries, k=10, nprobe=8)
+    recall = np.mean([len(set(np.asarray(ids8)[i]) & set(exact[i])) / 10
+                      for i in range(len(queries))])
+    assert recall >= 0.85, recall
+
+
 def test_ivf_chunked_assignment_matches_small_chunk():
     """add() streams assignment in chunks; a chunk smaller than the corpus
     must produce the same bins as one big chunk."""
