@@ -16,10 +16,15 @@ a batched matmul or a bounded gather, so it runs entirely on device:
     capacity-constrained (host-side greedy spill to the next-nearest
     centroid with space), so memory is ``slack × N`` rows regardless of how
     unbalanced k-means came out, and no row is ever dropped.
-  * **search** — [Q, nlist] centroid scores → top-``nprobe`` bins → gather
-    ``[q, nprobe·capacity, D]`` (scanned over query chunks to bound peak
-    memory) → masked top-k.  Cost per query is ``nprobe·capacity`` rows
-    instead of N: at nlist=1024, nprobe=32 that is ~4% of the exact search.
+  * **search** — union-probe: [Q, nlist] centroid scores → the UNION of all
+    queries' top-``nprobe`` clusters (one static-size set for the batch) →
+    those bins stream through dense [Q, chunk·capacity] matmuls with a
+    running top-k.  Queries share every gathered byte and the score step is
+    MXU-shaped.  The honest physics of batched IVF on dense hardware:
+    probing saves compute only while ``union ≤ Q·nprobe < nlist``, so the
+    selectivity win is largest for small/medium or correlated query batches
+    (per-query-gather IVF measured SLOWER than exact blockmax at 1M×768 —
+    see ``_ivf_core``).
 
 Approximation contract: recall depends on the corpus actually clustering
 (LayerNorm'd encoder embeddings do; isotropic random vectors do not — see
@@ -116,57 +121,77 @@ def _pack_bins(assign_scores: np.ndarray, capacity: int
 
 
 def _ivf_core(queries, centroids, bins_emb, bins_ids, valid_clusters, *,
-              k: int, nprobe: int, query_chunk: int):
+              k: int, nprobe: int, union: int, cluster_chunk: int = 64):
     """queries [Q, D] → (scores [Q, k] fp32, ids [Q, k] int32 global, −1 pad).
 
-    Doubly scanned — outer over query chunks, inner over probe columns with
-    a running top-k merge — so the gathered working set is bounded at
-    ``query_chunk · capacity`` rows regardless of nprobe.  Cluster rows at
-    index ≥ ``valid_clusters`` (shard padding) are never probed.  Pure
-    traced logic: callable directly under ``shard_map``.
+    Union-probe batch IVF — the MXU-shaped formulation.  Per-query bin
+    gathers (one [cap, D] DMA per query per probe) are bandwidth-bound and
+    degrade the score step to batched matvecs, which measured SLOWER than
+    exact blockmax search at 1M×768.  Instead the whole batch shares one
+    probe set: the union of every query's top-``nprobe`` clusters (padded
+    with next-best clusters to the static size ``union``), gathered once
+    and streamed through dense [Q, cluster_chunk·cap] matmuls with a
+    running top-k.  Every query scores every unioned cluster, so per-query
+    recall is ≥ classic per-query IVF at equal nprobe; the honest physics
+    is that selectivity trades against batch amortization — probing saves
+    compute only while ``union`` (≤ Q·nprobe) < nlist.
+
+    Cluster rows at index ≥ ``valid_clusters`` (shard padding) are never
+    selected.  Pure traced logic: callable directly under ``shard_map``.
     """
     Q, D = queries.shape
     nlist, cap = bins_ids.shape
     qf = queries.astype(jnp.float32)
-    pad = (-Q) % query_chunk
-    if pad:
-        qf = jnp.concatenate([qf, jnp.zeros((pad, D), jnp.float32)])
-    chunks = qf.reshape(-1, query_chunk, D)
     qdtype = bins_emb.dtype  # score at storage precision, fp32 accumulate
     cluster_ok = jnp.arange(nlist, dtype=jnp.int32) < valid_clusters
 
-    def chunk_body(_, qc):
-        cscores = qc @ centroids.T                           # [qc, nlist]
-        cscores = jnp.where(cluster_ok[None, :], cscores, NEG_INF)
-        _, probe = jax.lax.top_k(cscores, nprobe)            # [qc, nprobe]
-        qe = qc.astype(qdtype)
+    cscores = qf @ centroids.T.astype(jnp.float32)           # [Q, nlist]
+    cscores = jnp.where(cluster_ok[None, :], cscores, NEG_INF)
+    _, probe = jax.lax.top_k(cscores, min(nprobe, nlist))    # [Q, nprobe]
+    probed = jnp.zeros((nlist,), jnp.float32).at[probe.reshape(-1)].add(1.0)
+    # every probed cluster first (counts ≤ Q·nprobe ≤ union by the caller),
+    # then the globally strongest unprobed ones fill the static size
+    priority = jnp.where(probed > 0, 1e9, 0.0) + jnp.max(cscores, axis=0)
+    priority = jnp.where(cluster_ok, priority, NEG_INF)
+    _, sel = jax.lax.top_k(priority, union)                  # [union]
 
-        def probe_body(carry, probe_col):                    # [qc] bin ids
-            best_s, best_i = carry
-            emb = bins_emb[probe_col]                        # [qc, cap, D]
-            ids = bins_ids[probe_col]                        # [qc, cap]
-            s = jnp.einsum("qd,qcd->qc", qe, emb,
-                           preferred_element_type=jnp.float32)
-            s = jnp.where(ids >= 0, s, NEG_INF)
-            cat_s = jnp.concatenate([best_s, s], axis=1)
-            cat_i = jnp.concatenate([best_i, ids], axis=1)
-            new_s, pos = jax.lax.top_k(cat_s, k)
-            return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+    n_chunks = -(-union // cluster_chunk)
+    pad = n_chunks * cluster_chunk - union
+    # padding repeats already-selected clusters; their scores are masked so
+    # duplicate candidates cannot surface
+    sel_p = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)]) if pad \
+        else sel
+    col_valid = jnp.arange(n_chunks * cluster_chunk) < union
+    sel_chunks = sel_p.reshape(n_chunks, cluster_chunk)
+    valid_chunks = col_valid.reshape(n_chunks, cluster_chunk)
+    qe = qf.astype(qdtype)
 
-        init = (jnp.full((qc.shape[0], k), NEG_INF, jnp.float32),
-                jnp.full((qc.shape[0], k), -1, jnp.int32))
-        (top_s, top_i), _ = jax.lax.scan(probe_body, init, probe.T)
-        top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
-        return None, (top_s, top_i)
+    def body(carry, chunk):
+        best_s, best_i = carry
+        sel_c, ok_c = chunk
+        emb = bins_emb[sel_c].reshape(cluster_chunk * cap, D)
+        ids = bins_ids[sel_c]                                # [cc, cap]
+        ids = jnp.where(ok_c[:, None], ids, -1).reshape(-1)
+        s = jax.lax.dot_general(                             # [Q, cc·cap]
+            qe, emb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(ids[None, :] >= 0, s, NEG_INF)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids[None, :],
+                                                          s.shape)], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        return (new_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
 
-    _, (scores, ids) = jax.lax.scan(chunk_body, None, chunks)
-    scores = scores.reshape(-1, k)[:Q]
-    ids = ids.reshape(-1, k)[:Q]
+    init = (jnp.full((Q, k), NEG_INF, jnp.float32),
+            jnp.full((Q, k), -1, jnp.int32))
+    (scores, ids), _ = jax.lax.scan(body, init, (sel_chunks, valid_chunks))
+    ids = jnp.where(scores > NEG_INF / 2, ids, -1)
     return scores, ids
 
 
 _ivf_search = jax.jit(_ivf_core,
-                      static_argnames=("k", "nprobe", "query_chunk"))
+                      static_argnames=("k", "nprobe", "union",
+                                       "cluster_chunk"))
 
 
 class IVFIPIndex:
@@ -192,8 +217,7 @@ class IVFIPIndex:
                  nprobe: int = 8, dtype=jnp.bfloat16, *,
                  mesh: Optional[Mesh] = None, axis: str = "data",
                  slack: float = 1.3, kmeans_iters: int = 10,
-                 train_sample: int = 262_144, query_chunk: int = 64,
-                 seed: int = 0):
+                 train_sample: int = 262_144, seed: int = 0):
         self.dim = dim
         self.nlist = nlist
         self.nprobe = nprobe
@@ -203,7 +227,6 @@ class IVFIPIndex:
         self.slack = slack
         self.kmeans_iters = kmeans_iters
         self.train_sample = train_sample
-        self.query_chunk = query_chunk
         self.seed = seed
         self.centroids: Optional[jax.Array] = None
         self._bins_emb: Optional[jax.Array] = None
@@ -316,8 +339,14 @@ class IVFIPIndex:
         self._ntotal = 0
         self._search_cache = {}
 
-    def _build_sharded_search(self, k: int, nprobe: int, query_chunk: int):
-        """Cluster-sharded probe: each shard probes the top
+    def _cluster_chunk_for(self, union: int) -> int:
+        """Stream width: ~16k score columns per scan step (the flat
+        index's chunk_rows target)."""
+        return min(max(1, 16384 // self._bins_ids.shape[1]), union)
+
+    def _build_sharded_search(self, k: int, nprobe: int, n_queries: int,
+                              union: Optional[int]):
+        """Cluster-sharded probe: each shard union-probes the top
         ``ceil(nprobe / n_shards)`` of ITS OWN clusters and the tiny [Q, k]
         candidate sets merge via all_gather — the standard distributed-IVF
         approximation (per-shard probing covers ≥ the global top clusters
@@ -327,15 +356,18 @@ class IVFIPIndex:
         n_shards = mesh.shape[axis]
         per_shard = self._bins_ids.shape[0] // n_shards
         nprobe_local = min(-(-nprobe // n_shards), per_shard)
+        union_local = min(per_shard,
+                          union or n_queries * nprobe_local)
         nlist = self.nlist
+        cluster_chunk = self._cluster_chunk_for(union_local)
 
         def shard_fn(queries, cents, bins_emb, bins_ids):
             shard = jax.lax.axis_index(axis)
             # clusters beyond nlist are shard padding — never probe them
             valid = jnp.clip(nlist - shard * per_shard, 0, per_shard)
             s, i = _ivf_core(queries, cents, bins_emb, bins_ids, valid,
-                             k=k, nprobe=nprobe_local,
-                             query_chunk=query_chunk)
+                             k=k, nprobe=nprobe_local, union=union_local,
+                             cluster_chunk=cluster_chunk)
             all_s = jax.lax.all_gather(s, axis)              # [S, Q, k]
             all_i = jax.lax.all_gather(i, axis)
             return merge_topk(all_s, all_i, k)
@@ -347,30 +379,29 @@ class IVFIPIndex:
             out_specs=(P(), P()), check_vma=False)
         return jax.jit(fn)
 
-    def search(self, queries, k: int, nprobe: Optional[int] = None):
+    def search(self, queries, k: int, nprobe: Optional[int] = None,
+               union: Optional[int] = None):
+        """``union`` (default ``min(nlist, Q·nprobe)``, per shard on a
+        mesh) caps the shared probe set; smaller values trade recall for
+        compute on large batches (see ``_ivf_core``).  Result slots beyond
+        the probed candidates come back as (−inf, −1), the FAISS
+        convention."""
         if self._bins_emb is None:
             raise ValueError("index is empty; call add() first")
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = jnp.asarray(queries, jnp.float32)
-        k_eff = min(k, self._bins_ids.shape[1] * nprobe)
-        query_chunk = min(self.query_chunk, max(1, q.shape[0]))
         if self.mesh is not None:
-            key = (k_eff, nprobe, query_chunk)
+            key = (k, nprobe, q.shape[0], union)
             if key not in self._search_cache:
                 self._search_cache[key] = self._build_sharded_search(*key)
-            scores, ids = self._search_cache[key](
+            return self._search_cache[key](
                 q, self._sharded_centroids, self._bins_emb, self._bins_ids)
-        else:
-            scores, ids = _ivf_search(
-                q, self.centroids, self._bins_emb, self._bins_ids,
-                jnp.asarray(self.nlist, jnp.int32),
-                k=k_eff, nprobe=nprobe, query_chunk=query_chunk)
-        if k_eff < k:  # pad out to the requested k (FAISS −1 convention)
-            pad_s = jnp.full((q.shape[0], k - k_eff), NEG_INF, jnp.float32)
-            pad_i = jnp.full((q.shape[0], k - k_eff), -1, jnp.int32)
-            scores = jnp.concatenate([scores, pad_s], axis=1)
-            ids = jnp.concatenate([ids, pad_i], axis=1)
-        return scores, ids
+        union = min(union or q.shape[0] * nprobe, self.nlist)
+        return _ivf_search(
+            q, self.centroids, self._bins_emb, self._bins_ids,
+            jnp.asarray(self.nlist, jnp.int32),
+            k=k, nprobe=nprobe, union=union,
+            cluster_chunk=self._cluster_chunk_for(union))
 
     def recall_against_exact(self, queries, k: int,
                              exact_ids: np.ndarray) -> float:
