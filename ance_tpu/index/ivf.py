@@ -109,6 +109,17 @@ def _pack_bins_from(best: np.ndarray, best_score: np.ndarray,
     return bins, counts
 
 
+@jax.jit
+def _assign_reduce(emb, centroids):
+    s = emb @ centroids.T
+    return jnp.argmax(s, axis=1), jnp.max(s, axis=1)
+
+
+@jax.jit
+def _argsort_desc(emb, centroids):
+    return jnp.argsort(-(emb @ centroids.T), axis=1)
+
+
 def _pack_bins(assign_scores: np.ndarray, capacity: int
                ) -> tuple[np.ndarray, np.ndarray]:
     """Small-N convenience wrapper over ``_pack_bins_from`` taking the full
@@ -273,8 +284,16 @@ class IVFIPIndex:
 
     _ASSIGN_CHUNK = 65_536  # [chunk, nlist] score material per dispatch
 
-    def _centroid_scores(self, emb: np.ndarray) -> np.ndarray:
-        return np.asarray(jnp.asarray(emb) @ self.centroids.T)
+    def _assign_chunk(self, emb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(argmax, max) over centroids for a row chunk — reduced ON DEVICE
+        so only [chunk]-sized vectors cross the (slow, tunneled) host link,
+        never the [chunk, nlist] score matrix."""
+        best, score = _assign_reduce(jnp.asarray(emb), self.centroids)
+        return np.asarray(best), np.asarray(score)
+
+    def _spill_order_chunk(self, emb: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            _argsort_desc(jnp.asarray(emb), self.centroids))
 
     def add(self, embeddings) -> None:
         """(Re)build the packed bins from the full corpus.  Refits centroids
@@ -290,14 +309,13 @@ class IVFIPIndex:
         best = np.empty(n, np.int64)
         best_score = np.empty(n, np.float32)
         for s in range(0, n, self._ASSIGN_CHUNK):
-            sc = self._centroid_scores(emb[s:s + self._ASSIGN_CHUNK])
-            best[s:s + len(sc)] = sc.argmax(axis=1)
-            best_score[s:s + len(sc)] = sc.max(axis=1)
+            b, sc = self._assign_chunk(emb[s:s + self._ASSIGN_CHUNK])
+            best[s:s + len(b)] = b
+            best_score[s:s + len(b)] = sc
 
         def spill_order(rows):
-            parts = [np.argsort(self._centroid_scores(
-                emb[rows[s:s + self._ASSIGN_CHUNK]]), axis=1)[:, ::-1]
-                for s in range(0, len(rows), self._ASSIGN_CHUNK)]
+            parts = [self._spill_order_chunk(emb[rows[s:s + self._ASSIGN_CHUNK]])
+                     for s in range(0, len(rows), self._ASSIGN_CHUNK)]
             return np.concatenate(parts, axis=0)
 
         bins, _ = _pack_bins_from(best, best_score, cap, self.nlist,
