@@ -24,9 +24,11 @@ N = int(os.environ.get("IVF_N", 1_000_000))
 D = int(os.environ.get("IVF_D", 768))
 K = 10
 TRUE_CLUSTERS = max(16, N // 256)
-NLIST = int(os.environ.get("IVF_NLIST", 1024))
-BATCHES = (64, 512, 2048)
-NPROBES = (8, 32)
+NLIST = int(os.environ.get("IVF_NLIST", 4096))
+BATCHES = tuple(int(b) for b in
+                os.environ.get("IVF_BATCHES", "16,64,256").split(","))
+NPROBES = tuple(int(p) for p in
+                os.environ.get("IVF_NPROBES", "4,8").split(","))
 
 
 def materialize(x):
