@@ -626,10 +626,14 @@ def cmd_serve(args):
 
     if args.index == "ivf":
         from ance_tpu.index.ivf import IVFIPIndex
-        if args.quantize != "none":
-            raise SystemExit("--quantize applies to the flat index only")
+        if args.quantize == "rows":
+            raise SystemExit("--quantize rows applies to the flat index "
+                             "only (per-row scales cannot fold into the "
+                             "query); use --quantize dims with ivf")
         index = IVFIPIndex(dim=emb.shape[1], nlist=args.nlist,
                            nprobe=args.nprobe,
+                           quantize=False if args.quantize == "none"
+                           else args.quantize,
                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     else:
         index = FlatIPIndex(
@@ -670,7 +674,8 @@ def cmd_serve(args):
                                                        args.topk)
                 qids = keys if off2qid is None else \
                     [int(off2qid[k]) for k in keys]
-                _write_ranking(out, qids, pids, scores, args.with_scores)
+                _write_ranking(out, qids, pids, scores, args.with_scores,
+                               args.format, args.id_prefix, args.run_tag)
                 n_q += len(keys)
     else:
         rows = []
@@ -691,7 +696,8 @@ def cmd_serve(args):
             chunk = rows[s:s + B]
             qids = [int(r[0]) for r in chunk]
             scores, pids = retriever.search([r[1] for r in chunk], args.topk)
-            _write_ranking(out, qids, pids, scores, args.with_scores)
+            _write_ranking(out, qids, pids, scores, args.with_scores,
+                           args.format, args.id_prefix, args.run_tag)
             n_q += len(chunk)
     if args.output:
         out.close()
@@ -701,12 +707,21 @@ def cmd_serve(args):
                           "output": args.output}))
 
 
-def _write_ranking(out, qids, pids, scores, with_scores: bool) -> None:
+def _write_ranking(out, qids, pids, scores, with_scores: bool,
+                   fmt: str = "msmarco", id_prefix: str = "",
+                   run_tag: str = "ance_tpu") -> None:
+    """``msmarco``: ``qid\\tpid\\trank`` (official MS MARCO candidate file);
+    ``trec``: ``qid Q0 <id_prefix>pid rank score tag`` (trec_eval run file —
+    the TREC-DL doc judgments use D-prefixed ids, pass --id_prefix D)."""
     for qid, prow, srow in zip(qids, pids, scores):
         for rank, (pid, sc) in enumerate(zip(prow, srow), start=1):
             if pid < 0:
                 break
-            line = f"{int(qid)}\t{int(pid)}\t{rank}"
+            if fmt == "trec":
+                out.write(f"{int(qid)} Q0 {id_prefix}{int(pid)} {rank} "
+                          f"{float(sc):.6f} {run_tag}\n")
+                continue
+            line = f"{int(qid)}\t{id_prefix}{int(pid)}\t{rank}"
             if with_scores:
                 line += f"\t{float(sc):.6f}"
             out.write(line + "\n")
@@ -854,6 +869,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "query; 1.18x faster than bf16 measured, 4x smaller "
                         "than fp32 FAISS)")
     p.add_argument("--with_scores", action="store_true")
+    p.add_argument("--format", default="msmarco",
+                   choices=["msmarco", "trec"],
+                   help="msmarco: qid\\tpid\\trank (official scorer); "
+                        "trec: 6-column trec_eval run file (TREC-DL)")
+    p.add_argument("--id_prefix", default="",
+                   help="prepended to output pids (doc mode strips 'D' at "
+                        "preprocess — pass 'D' to restore TREC-DL doc ids)")
+    p.add_argument("--run_tag", default="ance_tpu",
+                   help="run tag column for --format trec")
     p.add_argument("--output", default=None, help="ranking TSV (else stdout)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
     p.set_defaults(fn=cmd_serve)

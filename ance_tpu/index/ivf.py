@@ -153,7 +153,11 @@ def _ivf_core(queries, centroids, bins_emb, bins_ids, valid_clusters, *,
     Q, D = queries.shape
     nlist, cap = bins_ids.shape
     qf = queries.astype(jnp.float32)
-    qdtype = bins_emb.dtype  # score at storage precision, fp32 accumulate
+    # score at storage precision with fp32 accumulation; int8 bins (dim
+    # scales folded into the query by the caller) upcast in-register — the
+    # gather DMA, IVF's bottleneck, stays at half the bytes
+    int8_bins = bins_emb.dtype == jnp.int8
+    qdtype = jnp.float32 if int8_bins else bins_emb.dtype
     cluster_ok = jnp.arange(nlist, dtype=jnp.int32) < valid_clusters
 
     cscores = qf @ centroids.T.astype(jnp.float32)           # [Q, nlist]
@@ -181,6 +185,8 @@ def _ivf_core(queries, centroids, bins_emb, bins_ids, valid_clusters, *,
         best_s, best_i = carry
         sel_c, ok_c = chunk
         emb = bins_emb[sel_c].reshape(cluster_chunk * cap, D)
+        if int8_bins:
+            emb = emb.astype(qdtype)
         ids = bins_ids[sel_c]                                # [cc, cap]
         ids = jnp.where(ok_c[:, None], ids, -1).reshape(-1)
         s = jax.lax.dot_general(                             # [Q, cc·cap]
@@ -227,19 +233,28 @@ class IVFIPIndex:
     def __init__(self, dim: int, nlist: Optional[int] = None,
                  nprobe: int = 8, dtype=jnp.bfloat16, *,
                  mesh: Optional[Mesh] = None, axis: str = "data",
-                 slack: float = 1.3, kmeans_iters: int = 10,
+                 quantize=False, slack: float = 1.3, kmeans_iters: int = 10,
                  train_sample: int = 262_144, seed: int = 0):
+        """``quantize="dims"`` stores bins int8 with per-DIMENSION scales:
+        the scales fold into the query (q′ = q·s) and out of the search
+        centroids (c′ = c/s), so scoring is unchanged while the bin gather
+        — IVF's bandwidth bottleneck — moves half the bytes."""
         self.dim = dim
         self.nlist = nlist
         self.nprobe = nprobe
         self.dtype = dtype
         self.mesh = mesh
         self.axis = axis
+        self.quantize = "dims" if quantize is True else (quantize or None)
+        if self.quantize not in (None, "dims"):
+            raise ValueError(f"quantize must be False/'dims' (per-row scales "
+                             f"cannot fold into the query), got {quantize!r}")
         self.slack = slack
         self.kmeans_iters = kmeans_iters
         self.train_sample = train_sample
         self.seed = seed
         self.centroids: Optional[jax.Array] = None
+        self._dim_scales: Optional[np.ndarray] = None
         self._bins_emb: Optional[jax.Array] = None
         self._bins_ids: Optional[jax.Array] = None
         self._ntotal = 0
@@ -324,20 +339,31 @@ class IVFIPIndex:
         valid = bins >= 0
         packed[valid] = emb[bins[valid]]
 
+        if self.quantize == "dims":
+            scales = np.maximum(np.abs(emb).max(axis=0), 1e-12) / 127.0
+            packed = np.clip(np.round(packed / scales[None, None, :]),
+                             -127, 127).astype(np.int8)
+            self._dim_scales = scales.astype(np.float32)
+            # centroid scoring must see the same folded query space:
+            # c′ = c/s so that c′·(q·s) = c·q
+            centroids = self.centroids / jnp.asarray(scales)
+        else:
+            self._dim_scales = None
+            centroids = self.centroids
+
         n_shards = self._n_shards()
         pad_clusters = (-self.nlist) % n_shards
         if pad_clusters:  # empty clusters on the last shard, never probed
             packed = np.concatenate(
                 [packed, np.zeros((pad_clusters, cap, self.dim),
-                                  np.float32)])
+                                  packed.dtype)])
             bins = np.concatenate(
                 [bins, np.full((pad_clusters, cap), -1, np.int64)])
-        centroids = self.centroids
-        if pad_clusters:
             centroids = jnp.concatenate(
                 [centroids, jnp.zeros((pad_clusters, centroids.shape[1]),
                                       centroids.dtype)])
-        bins_emb = jnp.asarray(packed, self.dtype)
+        bins_emb = jnp.asarray(packed) if self.quantize \
+            else jnp.asarray(packed, self.dtype)
         bins_ids = jnp.asarray(bins, jnp.int32)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(self.axis, None, None))
@@ -348,7 +374,7 @@ class IVFIPIndex:
                 centroids, NamedSharding(self.mesh, P(self.axis, None)))
         self._bins_emb = bins_emb
         self._bins_ids = bins_ids
-        self._sharded_centroids = centroids
+        self._search_centroids = centroids
         self._ntotal = n
         self._search_cache = {}
 
@@ -408,15 +434,17 @@ class IVFIPIndex:
             raise ValueError("index is empty; call add() first")
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = jnp.asarray(queries, jnp.float32)
+        if self._dim_scales is not None:  # fold int8 dim scales in
+            q = q * jnp.asarray(self._dim_scales)
         if self.mesh is not None:
             key = (k, nprobe, q.shape[0], union)
             if key not in self._search_cache:
                 self._search_cache[key] = self._build_sharded_search(*key)
             return self._search_cache[key](
-                q, self._sharded_centroids, self._bins_emb, self._bins_ids)
+                q, self._search_centroids, self._bins_emb, self._bins_ids)
         union = min(union or q.shape[0] * nprobe, self.nlist)
         return _ivf_search(
-            q, self.centroids, self._bins_emb, self._bins_ids,
+            q, self._search_centroids, self._bins_emb, self._bins_ids,
             jnp.asarray(self.nlist, jnp.int32),
             k=k, nprobe=nprobe, union=union,
             cluster_chunk=self._cluster_chunk_for(union))

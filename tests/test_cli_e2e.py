@@ -197,6 +197,25 @@ def test_cli_serve_emits_real_ids(tmp_path, capsys):
     assert np.isfinite(metrics["MRR @10"])
 
 
+def test_write_ranking_trec_format():
+    """TREC run-file format (6 columns, D-prefixed doc ids for TREC-DL)."""
+    import io
+
+    from ance_tpu.cli import _write_ranking
+
+    out = io.StringIO()
+    _write_ranking(out, [5], [[12, 7, -1]], [[0.9, 0.4, 0.0]],
+                   with_scores=False, fmt="trec", id_prefix="D",
+                   run_tag="tag1")
+    lines = out.getvalue().splitlines()
+    assert lines == ["5 Q0 D12 1 0.900000 tag1", "5 Q0 D7 2 0.400000 tag1"]
+
+    out = io.StringIO()
+    _write_ranking(out, [5], [[12]], [[0.9]], with_scores=False,
+                   id_prefix="D")
+    assert out.getvalue() == "5\tD12\t1\n"
+
+
 def test_cli_serve_missing_sources_error(tmp_path):
     base = ["serve", "--model_type", "seeddot_nll",
             "--model_name_or_path", str(tmp_path)]

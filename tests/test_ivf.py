@@ -145,6 +145,35 @@ def test_ivf_sharded_mesh_search():
     assert recall >= 0.85, recall
 
 
+def test_ivf_int8_dims_quantization():
+    """int8 bins with per-dim scales: near-identical ranking to fp32 IVF
+    (scales fold into the query and out of the search centroids)."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(13)
+    corpus = _clustered_corpus(rs, n_clusters=16, per_cluster=32, dim=32)
+    queries = corpus[rs.choice(len(corpus), 32, replace=False)]
+    exact = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+
+    q8 = IVFIPIndex(dim=32, nlist=16, nprobe=16, seed=14, quantize="dims",
+                    dtype=jnp.float32)
+    q8.add(corpus)
+    assert q8._bins_emb.dtype == jnp.int8
+    _, ids = q8.search(queries, k=10, nprobe=16)  # exhaustive probe
+    recall = np.mean([len(set(np.asarray(ids)[i]) & set(exact[i])) / 10
+                      for i in range(len(queries))])
+    assert recall >= 0.97, recall
+    # scores approximate the true inner products (int8 tolerance)
+    scores, ids = q8.search(queries[:4], k=3, nprobe=16)
+    for i in range(4):
+        for j in range(3):
+            true = float(queries[i] @ corpus[np.asarray(ids)[i, j]])
+            assert abs(float(np.asarray(scores)[i, j]) - true) < 0.05
+
+    with pytest.raises(ValueError, match="per-row"):
+        IVFIPIndex(dim=8, quantize="rows")
+
+
 def test_ivf_chunked_assignment_matches_small_chunk():
     """add() streams assignment in chunks; a chunk smaller than the corpus
     must produce the same bins as one big chunk."""
