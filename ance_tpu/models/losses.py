@@ -106,3 +106,29 @@ def dpr_inbatch_loss(q_embs: jax.Array, ctx_embs: jax.Array,
     loss = -jnp.take_along_axis(lsm, positive_idx[:, None], axis=1).mean()
     correct = jnp.sum(jnp.argmax(scores, axis=1) == positive_idx)
     return loss, correct
+
+
+def dpr_inbatch_multichunk_loss(q_embs: jax.Array, ctx_chunk_embs: jax.Array,
+                                ctx_mask: jax.Array, positive_idx: jax.Array
+                                ) -> tuple[jax.Array, jax.Array]:
+    """In-batch NLL over MaxP documents: score(q, doc) = max over the doc's
+    chunk dot-products with the −9999 empty-chunk bias (the cross-matrix
+    extension of :func:`multichunk_scores` — in-batch contrastive training
+    for long-document encoders, a capability the reference lacks; its MaxP
+    path trains on triplets only, models.py:84-134).
+
+    ``ctx_chunk_embs``: [C, Cn, D]; ``ctx_mask``: [C, Cn·L] token mask whose
+    per-chunk first column marks chunk presence.  Returns (mean loss,
+    correct-prediction count) like :func:`dpr_inbatch_loss`.
+    """
+    C, Cn, _ = ctx_chunk_embs.shape
+    chunk_alive = ctx_mask.reshape(C, Cn, -1)[:, :, 0]
+    bias = (1.0 - chunk_alive.astype(jnp.float32)) * EMPTY_CHUNK_BIAS
+    s = jnp.einsum("qd,jcd->qjc", q_embs.astype(jnp.float32),
+                   ctx_chunk_embs.astype(jnp.float32),
+                   precision=_HIGHEST) + bias[None]
+    scores = jnp.max(s, axis=-1)                        # [Q, C]
+    lsm = jax.nn.log_softmax(scores, axis=1)
+    loss = -jnp.take_along_axis(lsm, positive_idx[:, None], axis=1).mean()
+    correct = jnp.sum(jnp.argmax(scores, axis=1) == positive_idx)
+    return loss, correct

@@ -22,10 +22,14 @@ from ance_tpu.data.feed import gather_padded, parse_triple_line
 from ance_tpu.models import losses
 
 
-def biencoder_loss_fn(model, deterministic: bool = False) -> Callable:
+def biencoder_loss_fn(model, deterministic: bool = False,
+                      multichunk: bool = False) -> Callable:
     """loss(params, batch, rng) → (loss, correct_count) with positives at
     even ctx indices. ``deterministic=True`` disables dropout — the eval
-    path (reference runs dev under model.eval(), run_ann_dpr.py:266-306)."""
+    path (reference runs dev under model.eval(), run_ann_dpr.py:266-306).
+    ``multichunk=True`` scores MaxP documents (max over chunk embeddings,
+    losses.dpr_inbatch_multichunk_loss) — in-batch contrastive training for
+    long docs, which the reference's triplet-only MaxP path lacks."""
 
     def loss_fn(params, batch, dropout_rng):
         # fresh dropout mask per tower (the reference's separate forwards
@@ -40,11 +44,17 @@ def biencoder_loss_fn(model, deterministic: bool = False) -> Callable:
                             axis=1).reshape(2 * B, -1)
         ctx_mask = jnp.stack([batch["pos_mask"], batch["neg_mask"]],
                              axis=1).reshape(2 * B, -1)
+        body_method = model.body_emb_multichunk if multichunk \
+            else model.body_emb
         ctx = model.apply({"params": params}, ctx_ids, ctx_mask,
                           deterministic=deterministic,
-                          rngs={"dropout": ctx_rng}, method=model.body_emb)
+                          rngs={"dropout": ctx_rng}, method=body_method)
         positive_idx = jnp.arange(B) * 2
-        loss, correct = losses.dpr_inbatch_loss(q, ctx, positive_idx)
+        if multichunk:
+            loss, correct = losses.dpr_inbatch_multichunk_loss(
+                q, ctx, ctx_mask, positive_idx)
+        else:
+            loss, correct = losses.dpr_inbatch_loss(q, ctx, positive_idx)
         return loss, correct
 
     return loss_fn

@@ -144,6 +144,44 @@ def test_robertadot_graft_embed_and_multichunk():
     np.testing.assert_allclose(chunked, expect, rtol=1e-4, atol=1e-5)
 
 
+def test_dpr_inbatch_multichunk_loss():
+    """Cross-matrix MaxP in-batch loss == dpr_inbatch_loss computed on the
+    manually max-reduced score matrix (incl. −9999 empty-chunk bias)."""
+    rs = np.random.RandomState(1)
+    Q, C, Cn, D, L = 3, 6, 4, 8, 5
+    q = rs.randn(Q, D).astype(np.float32)
+    ctx = rs.randn(C, Cn, D).astype(np.float32)
+    mask = rs.randint(0, 2, size=(C, Cn * L)).astype(np.float32)
+    pos_idx = np.arange(Q) * 2
+
+    loss, correct = losses.dpr_inbatch_multichunk_loss(
+        jnp.asarray(q), jnp.asarray(ctx), jnp.asarray(mask),
+        jnp.asarray(pos_idx))
+
+    alive = mask.reshape(C, Cn, L)[:, :, 0]
+    bias = (1.0 - alive) * -9999.0
+    scores = np.einsum("qd,jcd->qjc", q, ctx) + bias[None]
+    ref = scores.max(axis=-1)                       # [Q, C]
+    lsm = ref - np.log(np.exp(ref - ref.max(1, keepdims=True)).sum(
+        1, keepdims=True)) - ref.max(1, keepdims=True)
+    ref_loss = float(np.mean([-lsm[i, pos_idx[i]] for i in range(Q)]))
+    assert abs(float(loss) - ref_loss) < 1e-4
+    assert int(correct) == int(np.sum(ref.argmax(1) == pos_idx))
+
+    # a doc whose only live chunk holds the best embedding must win over a
+    # doc whose best embedding sits in a DEAD chunk
+    ctx2 = np.zeros((2, 2, D), np.float32)
+    ctx2[0, 0] = q[0]                               # doc 0: live chunk match
+    ctx2[1, 1] = q[0] * 2                           # doc 1: dead chunk only
+    m2 = np.zeros((2, 2 * L), np.float32)
+    m2[0, 0] = 1.0                                  # doc0 chunk0 alive
+    m2[1, 0] = 1.0                                  # doc1 chunk0 alive (zero emb)
+    _, correct2 = losses.dpr_inbatch_multichunk_loss(
+        jnp.asarray(q[:1]), jnp.asarray(ctx2), jnp.asarray(m2),
+        jnp.asarray(np.array([0])))
+    assert int(correct2) == 1
+
+
 def test_losses_vs_torch_reference_math():
     """All three loss heads against reference formulas in one jit.
 
