@@ -89,11 +89,19 @@ def main():
     # from-scratch-trainable geometry: the reference never trains from random
     # init (it always starts from pretrained roberta-base, README.md:61-87);
     # with no pretrained weights available offline, a 4-layer/256-wide encoder
-    # demonstrates the full-system quality dynamics at 100k-corpus scale
-    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=256, num_layers=4,
-                        num_heads=8, intermediate_size=1024,
-                        dtype=jnp.bfloat16)
-    model = RobertaDot(cfg, out_dim=256)
+    # demonstrates the full-system quality dynamics at 100k-corpus scale.
+    # DEMO_MODEL=seeddot swaps in the SEED-encoder retrieval model
+    # (seeddot_nll registry family: pad-offset positions, zero-padded
+    # embeddings, no type embeddings) on the same task.
+    shape = dict(hidden_size=256, num_layers=4, num_heads=8,
+                 intermediate_size=1024, dtype=jnp.bfloat16)
+    if os.environ.get("DEMO_MODEL") == "seeddot":
+        from ance_tpu.models.seed import seed_dot_model
+        model = seed_dot_model(vocab_size=VOCAB, out_dim=256,
+                               config_overrides=shape)
+    else:
+        model = RobertaDot(EncoderConfig(vocab_size=VOCAB, **shape),
+                           out_dim=256)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((2, QLEN), jnp.int32),
                                  jnp.ones((2, QLEN), jnp.int32))["params"]
