@@ -543,9 +543,12 @@ def _offset2id_lookup(data_dir, stem):
         mapping, _ = load_mapping(data_dir, stem)
     else:
         return None
-    arr = np.full(max(mapping.values()) + 1, -1, np.int64)
-    for real, off in mapping.items():
-        arr[off] = real
+    if not mapping:
+        return None
+    offs = np.fromiter(mapping.values(), np.int64, len(mapping))
+    reals = np.fromiter(mapping.keys(), np.int64, len(mapping))
+    arr = np.full(offs.max() + 1, -1, np.int64)
+    arr[offs] = reals
     return arr
 
 
@@ -662,12 +665,29 @@ def cmd_serve(args):
         qstem = os.path.basename(args.query_cache)
         off2qid = (_offset2id_lookup(qdir, f"{qstem}_qid2offset")
                    if qstem else None)
-        if off2qid is None:
+        fallback = off2qid is None
+        if fallback:
             off2qid = _offset2id_lookup(qdir, "qid2offset")
-        if off2qid is None:
-            print("WARNING: no qid2offset map next to --query_cache; "
-                  "emitted qids are cache offsets", file=sys.stderr)
         with TokenCache(args.query_cache) as qc:
+            if off2qid is not None and (
+                    len(qc) > len(off2qid)
+                    or (off2qid[:len(qc)] < 0).any()):
+                # a generic qid2offset.pickle belongs to the LAST
+                # preprocessed split — if it doesn't cover this cache,
+                # trusting it would emit the WRONG split's qids
+                print("WARNING: qid2offset map does not cover "
+                      f"{args.query_cache} ({len(qc)} rows) — it likely "
+                      "belongs to another split; emitting cache offsets",
+                      file=sys.stderr)
+                off2qid = None
+            elif off2qid is not None and fallback:
+                print("note: using generic qid2offset.pickle for "
+                      f"{args.query_cache} (no per-split map found); "
+                      "verify it matches this split", file=sys.stderr)
+            if off2qid is None:
+                print("WARNING: no usable qid2offset map next to "
+                      "--query_cache; emitted qids are cache offsets",
+                      file=sys.stderr)
             for keys, ids, mask in iter_cache_batches(qc, B):
                 scores, pids = retriever.search_tokens(ids[:len(keys)],
                                                        mask[:len(keys)],
@@ -679,7 +699,9 @@ def cmd_serve(args):
                 n_q += len(keys)
     else:
         rows = []
-        with open(args.queries, encoding="utf-8") as f:
+        # utf-8-sig: a BOM would make the first qid fail the digit test and
+        # silently vanish into the header-skip path
+        with open(args.queries, encoding="utf-8-sig") as f:
             for lineno, line in enumerate(f, 1):
                 if not line.strip():
                     continue

@@ -335,19 +335,33 @@ class IVFIPIndex:
 
         bins, _ = _pack_bins_from(best, best_score, cap, self.nlist,
                                   spill_order)
-        packed = np.zeros((self.nlist, cap, self.dim), np.float32)
         valid = bins >= 0
-        packed[valid] = emb[bins[valid]]
-
         if self.quantize == "dims":
-            scales = np.maximum(np.abs(emb).max(axis=0), 1e-12) / 127.0
-            packed = np.clip(np.round(packed / scales[None, None, :]),
-                             -127, 127).astype(np.int8)
+            # quantize the corpus once, pack int8 rows directly — the
+            # packed buffer is then slack·N·D bytes, not 4× that in fp32.
+            # Host-chunked (not flat.quantize_dims_int8, which is jnp and
+            # would put the full fp32 corpus on device): same max-abs/127
+            # per-dim scales, semantics covered by the exhaustive-probe
+            # parity test.
+            scales = np.zeros(self.dim, np.float32)
+            for s in range(0, n, self._ASSIGN_CHUNK):
+                chunk = emb[s:s + self._ASSIGN_CHUNK]
+                np.maximum(scales, np.abs(chunk).max(axis=0), out=scales)
+            scales = np.maximum(scales, 1e-12) / 127.0
+            q_emb = np.empty((n, self.dim), np.int8)
+            for s in range(0, n, self._ASSIGN_CHUNK):
+                chunk = emb[s:s + self._ASSIGN_CHUNK]
+                q_emb[s:s + len(chunk)] = np.clip(
+                    np.round(chunk / scales[None, :]), -127, 127)
+            packed = np.zeros((self.nlist, cap, self.dim), np.int8)
+            packed[valid] = q_emb[bins[valid]]
             self._dim_scales = scales.astype(np.float32)
             # centroid scoring must see the same folded query space:
             # c′ = c/s so that c′·(q·s) = c·q
             centroids = self.centroids / jnp.asarray(scales)
         else:
+            packed = np.zeros((self.nlist, cap, self.dim), np.float32)
+            packed[valid] = emb[bins[valid]]
             self._dim_scales = None
             centroids = self.centroids
 

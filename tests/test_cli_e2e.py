@@ -216,6 +216,51 @@ def test_write_ranking_trec_format():
     assert out.getvalue() == "5\tD12\t1\n"
 
 
+def test_cli_serve_qid_map_coverage_guard(tmp_path, capsys):
+    """A generic qid2offset.pickle that belongs to a DIFFERENT split (fewer
+    rows than the served cache) must not be trusted: serve falls back to
+    offsets with a warning instead of emitting the wrong split's qids."""
+    raw = _write_raw(tmp_path)
+    data = str(tmp_path / "data")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    capsys.readouterr()
+    # simulate a pre-per-split-map data dir: only the (dev, 16-row) generic
+    # pickle remains, and we serve the 32-row train cache through it
+    os.remove(os.path.join(data, "train-query_qid2offset.pickle"))
+    out_tsv = str(tmp_path / "r.tsv")
+    main(["serve", *base, "--encoder_overrides", TINY, "--data_dir", data,
+          "--query_cache", os.path.join(data, "train-query"),
+          "--topk", "2", "--output", out_tsv])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    qids = {int(l.split("\t")[0]) for l in open(out_tsv)}
+    assert qids == set(range(32))  # offsets, NOT the dev split's 32..47
+
+
+def test_cli_serve_bom_query_file(tmp_path, capsys):
+    """A UTF-8 BOM must not silently swallow the first query."""
+    raw = _write_raw(tmp_path)
+    data = str(tmp_path / "data")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    capsys.readouterr()
+    bom_tsv = tmp_path / "q_bom.tsv"
+    with open(bom_tsv, "wb") as f:
+        f.write("﻿40\tfind word0\n41\tfind word1\n".encode("utf-8"))
+    out_tsv = str(tmp_path / "rb.tsv")
+    main(["serve", *base, "--encoder_overrides", TINY, "--data_dir", data,
+          "--queries", str(bom_tsv), "--topk", "2", "--output", out_tsv])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["queries"] == 2  # BOM line included, not header-skipped
+    assert {int(l.split("\t")[0]) for l in open(out_tsv)} == {40, 41}
+
+
 def test_cli_serve_missing_sources_error(tmp_path):
     base = ["serve", "--model_type", "seeddot_nll",
             "--model_name_or_path", str(tmp_path)]
