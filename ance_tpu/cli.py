@@ -616,7 +616,13 @@ def cmd_serve(args):
     off2pid = _offset2id_lookup(args.data_dir, "pid2offset")
     pid_space = "real"
     if off2pid is not None:
-        e2id = off2pid[np.asarray(e2id, np.int64)]
+        e2id = np.asarray(e2id, np.int64)
+        # bounds first: an out-of-range offset would raise a raw numpy
+        # IndexError instead of the intended diagnostic (ADVICE r2)
+        if e2id.size and (e2id.min() < 0 or e2id.max() >= len(off2pid)):
+            raise SystemExit("embedding ids not covered by pid2offset — "
+                             "emb dump and --data_dir disagree")
+        e2id = off2pid[e2id]
         if (e2id < 0).any():
             raise SystemExit("embedding ids not covered by pid2offset — "
                              "emb dump and --data_dir disagree")
@@ -707,7 +713,11 @@ def cmd_serve(args):
                     continue
                 parts = line.rstrip("\n").split("\t")
                 if len(parts) < 2 or not parts[0].lstrip("-").isdigit():
-                    if lineno == 1:  # exported files often carry a header
+                    # header-skip only for recognizably-header first lines;
+                    # a legitimate first query with a non-numeric id must
+                    # fail loudly, not vanish (ADVICE r2)
+                    if lineno == 1 and parts and parts[0].strip().lower() in (
+                            "qid", "query_id", "id", "queryid"):
                         print(f"note: skipping header line in "
                               f"{args.queries}", file=sys.stderr)
                         continue

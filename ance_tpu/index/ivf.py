@@ -465,9 +465,15 @@ class IVFIPIndex:
 
     def recall_against_exact(self, queries, k: int,
                              exact_ids: np.ndarray) -> float:
-        """Fraction of the exact top-k retrieved (diagnostic)."""
+        """Fraction of the exact top-k retrieved (diagnostic). −1 padding
+        rows (present in both IVF results and short exact rows) are excluded
+        from both sets and from the denominator."""
         _, ids = self.search(queries, k)
         ids = np.asarray(ids)
-        hits = sum(len(set(ids[i].tolist()) & set(exact_ids[i].tolist()))
-                   for i in range(len(ids)))
-        return hits / float(exact_ids.shape[0] * k)
+        hits = denom = 0
+        for i in range(len(ids)):
+            exact = set(x for x in exact_ids[i].tolist() if x >= 0)
+            got = set(x for x in ids[i].tolist() if x >= 0)
+            hits += len(got & exact)
+            denom += len(exact)
+        return hits / float(denom) if denom else 0.0

@@ -405,6 +405,13 @@ class SeedForMaskedLM(nn.Module):
         decoder logits; the fairseq counterpart is the incremental-state
         forward (reference modules.py:977-1045), here with an O(window)
         static-shape cache instead of growing tensors.
+
+        ASSUMES the decoded prefix contains no pad tokens: positions here
+        count ``pos + 1 + pad`` unconditionally, while the teacher-forced
+        path excludes pad tokens from its cumsum position count — a pad id
+        in the prefix would make incremental logits diverge from the full
+        forward. Generation (greedy_decode) never emits pads mid-stream
+        unless the model argmaxes one, in which case equivalence is void.
         """
         table = self.encoder.get_variable("params", "embeddings")[
             "word_embeddings"]["embedding"]

@@ -19,10 +19,17 @@ effective on a 112 TF/s V100 (~18% MFU; consistent with commonly reported
 ~1000 seq/s for BERT-base at seq 128). That gives ~1000 passages/s per GPU,
 ~4000 passages/s for the 4-GPU job. ``vs_baseline = ours / 4000``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", + extras}.
+Contention control: the benched chip is time-shared, so every metric is
+sampled N_SAMPLES times and reported as the MEDIAN with a [min, max]
+spread — a single unlucky sample must not masquerade as a regression
+(round-2 lesson: one-shot search QPS varied 2.9x between runs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"spread", + extras with their own *_spread fields}.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -32,6 +39,7 @@ GFLOP_PER_PASSAGE = 21.8
 SEQ = 128
 BATCH = 256
 STEPS = 10
+N_SAMPLES = 5
 
 # bf16 peak matmul throughput by device kind (TF/s)
 PEAK_TFLOPS = {
@@ -51,15 +59,24 @@ def _materialize(x):
     return float(jnp.sum(x))
 
 
+def sample(timed_once, n=N_SAMPLES):
+    """Run ``timed_once`` (returns one scalar sample) n times →
+    (median, min, max). The first call outside this fn should have
+    warmed/compiled already."""
+    xs = [timed_once() for _ in range(n)]
+    return statistics.median(xs), min(xs), max(xs)
+
+
 def bench_encode(jax, jnp, on_tpu):
     from ance_tpu.models.dot_models import RobertaDot
     from ance_tpu.models.transformer import EncoderConfig
 
+    batch = BATCH if on_tpu else 8  # CPU path is a smoke test only
     cfg = EncoderConfig(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     model = RobertaDot(cfg, out_dim=768)
     rs = np.random.RandomState(0)
-    ids = jnp.asarray(rs.randint(4, 50000, (BATCH, SEQ)), jnp.int32)
-    mask = jnp.ones((BATCH, SEQ), jnp.int32)
+    ids = jnp.asarray(rs.randint(4, 50000, (batch, SEQ)), jnp.int32)
+    mask = jnp.ones((batch, SEQ), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ids[:2], mask[:2]
                                  )["params"]
 
@@ -69,20 +86,22 @@ def bench_encode(jax, jnp, on_tpu):
                            method=model.body_emb)
 
     _materialize(encode(params, ids, mask))  # compile
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(STEPS):
-        out = encode(params, ids, mask)
-    _materialize(out)
-    dt = time.perf_counter() - t0
-    pps = BATCH * STEPS / dt
-    return pps, pps * GFLOP_PER_PASSAGE / 1000.0  # passages/s, TF/s
+
+    def once():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(STEPS):
+            out = encode(params, ids, mask)
+        _materialize(out)
+        return batch * STEPS / (time.perf_counter() - t0)  # passages/s
+
+    return sample(once, N_SAMPLES if on_tpu else 2)
 
 
 def bench_maxp_encode(jax, jnp, on_tpu):
     """MaxP body encode: [B, 4·512] docs → 4 chunks/doc through the seq-512
     Pallas fused-attention path (the reference MaxP geometry,
-    models.py:160-199). Returns docs/sec."""
+    models.py:160-199). Returns docs/sec samples."""
     from ance_tpu.models.dot_models import RobertaDot
     from ance_tpu.models.transformer import EncoderConfig
 
@@ -102,12 +121,16 @@ def bench_maxp_encode(jax, jnp, on_tpu):
 
     _materialize(encode(params, ids, mask))
     reps = 10
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = encode(params, ids, mask)
-    _materialize(out)
-    return B * reps / (time.perf_counter() - t0)
+
+    def once():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = encode(params, ids, mask)
+        _materialize(out)
+        return B * reps / (time.perf_counter() - t0)
+
+    return sample(once, N_SAMPLES if on_tpu else 2)
 
 
 def bench_train_step(jax, jnp, on_tpu):
@@ -139,11 +162,19 @@ def bench_train_step(jax, jnp, on_tpu):
     state, m = step(state, batch, jax.random.PRNGKey(1))
     _materialize(m["loss"])  # compile
     reps = 10
-    t0 = time.perf_counter()
-    for i in range(reps):
-        state, m = step(state, batch, jax.random.PRNGKey(i))
-    _materialize(m["loss"])
-    return (time.perf_counter() - t0) / reps * 1000.0, B  # ms, batch
+    it = iter(range(10_000))
+
+    def once():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state_, m = step(state, batch, jax.random.PRNGKey(next(it)))
+            state = state_
+        _materialize(m["loss"])
+        return (time.perf_counter() - t0) / reps * 1000.0  # ms/step
+
+    med, lo, hi = sample(once, N_SAMPLES if on_tpu else 2)
+    return (med, lo, hi), B
 
 
 def bench_search(jax, jnp, on_tpu):
@@ -164,11 +195,21 @@ def bench_search(jax, jnp, on_tpu):
     s, _ = index.search(queries, k=k)
     _materialize(s)  # compile
     reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        s, _ = index.search(queries, k=k)
-    _materialize(s)
-    return q * reps / (time.perf_counter() - t0), n  # qps, corpus size
+
+    def once():
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(reps):
+            s, _ = index.search(queries, k=k)
+        _materialize(s)
+        return q * reps / (time.perf_counter() - t0)  # qps
+
+    med, lo, hi = sample(once, N_SAMPLES if on_tpu else 2)
+    return (med, lo, hi), n
+
+
+def _spread(lo, hi, nd=1):
+    return [round(lo, nd), round(hi, nd)]
 
 
 def main():
@@ -179,24 +220,30 @@ def main():
     on_tpu = dev.platform not in ("cpu",)
     kind = getattr(dev, "device_kind", "unknown")
 
-    pps, tflops = bench_encode(jax, jnp, on_tpu)
-    maxp_dps = bench_maxp_encode(jax, jnp, on_tpu)
-    train_ms, train_b = bench_train_step(jax, jnp, on_tpu)
-    search_qps, corpus_n = bench_search(jax, jnp, on_tpu)
+    pps, pps_lo, pps_hi = bench_encode(jax, jnp, on_tpu)
+    maxp_dps, maxp_lo, maxp_hi = bench_maxp_encode(jax, jnp, on_tpu)
+    (train_ms, tr_lo, tr_hi), train_b = bench_train_step(jax, jnp, on_tpu)
+    (search_qps, s_lo, s_hi), corpus_n = bench_search(jax, jnp, on_tpu)
 
     peak = PEAK_TFLOPS.get(kind)
+    tflops = pps * GFLOP_PER_PASSAGE / 1000.0
     out = {
         "metric": "firstp_encode_throughput",
         "value": round(pps, 1),
         "unit": "passages/sec",
         "vs_baseline": round(pps / BASELINE_PASSAGES_PER_SEC, 3),
+        "spread": _spread(pps_lo, pps_hi),
+        "samples": N_SAMPLES,
         "device": kind,
         "encode_tflops": round(tflops, 1),
         "encode_mfu": round(tflops / peak, 3) if peak else None,
         "maxp_docs_per_sec": round(maxp_dps, 1),
+        "maxp_docs_per_sec_spread": _spread(maxp_lo, maxp_hi),
         "train_step_ms": round(train_ms, 1),
+        "train_step_ms_spread": _spread(tr_lo, tr_hi),
         "train_batch": train_b,
         "search_qps": round(search_qps, 1),
+        "search_qps_spread": _spread(s_lo, s_hi),
         "search_corpus": corpus_n,
     }
     print(json.dumps(out))
