@@ -114,6 +114,22 @@ def _torch_ckpt_file(model_dir: str) -> bool:
     return any(f.endswith((".bin", ".pt")) for f in os.listdir(model_dir))
 
 
+def _eval_mesh(batch_size: int):
+    """Data-parallel mesh for generator/inference encode paths (the
+    reference's StreamingDataset rank striping, util.py:318-329). None on a
+    single device, or when the batch can't split evenly over devices."""
+    import jax
+    from ance_tpu.core.mesh import make_mesh
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    if batch_size % n:
+        logger.warning("eval batch %d not divisible by %d devices; "
+                       "encode runs single-device", batch_size, n)
+        return None
+    return make_mesh()
+
+
 def _warm_start_params(spec, params, model_dir):
     """Graft a torch checkpoint onto fresh init params, dispatching the
     mapping on the model family (ADVICE r1: a DPR CheckpointState must go
@@ -227,11 +243,30 @@ def cmd_warmup(args):
                        eval_every=args.eval_steps,
                        checkpoint_dir=args.output_dir,
                        host_id=host_id, num_hosts=num_hosts)
+
+    # resume: restore the newest complete checkpoint and skip its steps —
+    # a preempted 60K-step warmup must not restart from zero (reference
+    # run_warmup.py:144-163 step-skipping resume)
+    start_step = 0
+    from ance_tpu.train import checkpoint as ckpt
+    path, ckpt_step = ckpt.get_latest_checkpoint(args.output_dir or "")
+    if path and ckpt.is_complete(path):
+        import jax.numpy as jnp
+        from ance_tpu.train.trainer import TrainState
+        params, opt_state, _meta = ckpt.load_checkpoint(
+            path, state.params, state.opt_state)
+        state = TrainState(step=jnp.asarray(ckpt_step, jnp.int32),
+                           params=params,
+                           opt_state=opt_state if opt_state is not None
+                           else state.opt_state)
+        start_step = ckpt_step
+        logger.info("warmup resume from %s (step %s)", path, ckpt_step)
+
     state, history = run_warmup(cfg, state=state, train_step=step,
                                 tokenizer=tokenizer,
                                 triples_path=args.train_file,
                                 rng=jax.random.PRNGKey(args.seed),
-                                eval_fn=eval_fn)
+                                eval_fn=eval_fn, start_step=start_step)
     print(json.dumps(history[-3:]))
 
 
@@ -370,10 +405,11 @@ def cmd_generate(args, inference_only=False):
     params, ckpt_path, step = _load_latest_params(
         params, args.training_dir, args.init_model_dir)
 
-    qfn = make_encode_fn(model, type(model).query_emb)
+    mesh = _eval_mesh(args.per_device_eval_batch_size)
+    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
     body_method = type(model).body_emb_multichunk if spec.multichunk \
         else type(model).body_emb
-    bfn = make_encode_fn(model, body_method)
+    bfn = make_encode_fn(model, body_method, mesh=mesh)
     gen_cfg = AnnGenConfig(topk_training=args.topk_training,
                            negative_sample=args.negative_sample,
                            ann_chunk_factor=args.ann_chunk_factor,
@@ -393,7 +429,8 @@ def cmd_generate(args, inference_only=False):
             train_query_cache=train_c,
             training_query_positive_id=positives_from_qrels(train_qrels),
             dev_query_positive_id=dev_qrels,
-            output_dir=args.output_dir, inference_only=inference_only)
+            output_dir=args.output_dir, inference_only=inference_only,
+            mesh=mesh)
     if result and inference_only:
         # persist embeddings in the notebook-compatible shard layout
         # (reference --inference mode stops after encode, run_ann_data_gen.py
@@ -445,8 +482,9 @@ def cmd_generate_dpr(args):
         _qas_answers(args.test_qas)
     trivia_answers = _qas_answers(args.trivia_qas)
 
-    qfn = make_encode_fn(model, type(model).query_emb)
-    bfn = make_encode_fn(model, type(model).body_emb)
+    mesh = _eval_mesh(args.per_device_eval_batch_size)
+    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
+    bfn = make_encode_fn(model, type(model).body_emb, mesh=mesh)
     with TokenCache(args.data_dir + "/train-query") as tq, \
             TokenCache(args.data_dir + "/test-query") as te, \
             TokenCache(args.data_dir + "/trivia-test-query") as tr, \
@@ -461,7 +499,7 @@ def cmd_generate_dpr(args):
             training_query_positive_id=positives,
             output_dir=args.output_dir, topk_training=args.topk_training,
             negative_sample=args.negative_sample,
-            encode_batch_size=args.per_device_eval_batch_size)
+            encode_batch_size=args.per_device_eval_batch_size, mesh=mesh)
     result.pop("index", None)
     print(json.dumps(result))
 
@@ -488,7 +526,7 @@ def cmd_eval(args):
 
 def cmd_eval_full(args):
     from ance_tpu.evaluation.offline import (
-        full_ranking_eval, load_embedding_shards)
+        full_ranking_eval, load_embedding_shards, rerank_eval)
     from ance_tpu.train.ance_loop import load_offset_qrels
     q = load_embedding_shards(args.query_prefix)
     q_ids = load_embedding_shards(args.query_id_prefix)
@@ -497,8 +535,30 @@ def cmd_eval_full(args):
     if any(x is None for x in (q, q_ids, p, p_ids)):
         raise SystemExit("missing embedding shards")
     qrels = load_offset_qrels(args.qrels)
-    print(json.dumps(full_ranking_eval(q, q_ids, p, p_ids, qrels,
-                                       topn=args.topn)))
+    if not args.candidates:
+        print(json.dumps(full_ranking_eval(q, q_ids, p, p_ids, qrels,
+                                           topn=args.topn)))
+        return
+    # BM25-candidate rerank mode (notebook cell 11): restrict each query's
+    # ranking to its top1000.dev candidate set. Candidate files carry REAL
+    # ids; embedding ids are cache offsets — map through the preprocess
+    # pickles when --data_dir is given, else candidates must already be
+    # offset-space.
+    from ance_tpu.evaluation.mrr_eval import parse_top_dev
+    cand = parse_top_dev(args.candidates)
+    if args.data_dir:
+        from ance_tpu.data.preprocess import load_id_map
+        pid2off = load_id_map(
+            os.path.join(args.data_dir, "pid2offset.pickle"))
+        qmap_path = os.path.join(
+            args.data_dir, f"{args.query_split}_qid2offset.pickle")
+        if not os.path.exists(qmap_path):  # pre-per-split-map layouts
+            qmap_path = os.path.join(args.data_dir, "qid2offset.pickle")
+        qid2off = load_id_map(qmap_path)
+        cand = {qid2off[qid]: [pid2off[p] for p in pids if p in pid2off]
+                for qid, pids in cand.items() if qid in qid2off}
+    print(json.dumps(rerank_eval(q, q_ids, p, p_ids, cand, qrels,
+                                 k=args.rerank_depth)))
 
 
 def _init_params(model, seq_len: int):
@@ -929,6 +989,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qrels", required=True,
                    help="offset-space qrels tsv (train/dev-qrel.tsv)")
     p.add_argument("--topn", type=int, default=1000)
+    p.add_argument("--candidates", default=None,
+                   help="BM25 candidate file (top1000.dev) → rerank mode "
+                        "(notebook cell 11) instead of full ranking")
+    p.add_argument("--data_dir", default=None,
+                   help="preprocess output dir with pid2offset/qid2offset "
+                        "pickles to map the candidate file's real ids to "
+                        "cache offsets (omit if candidates are offset-space)")
+    p.add_argument("--query_split", default="dev-query",
+                   help="query cache stem whose per-split qid map applies "
+                        "to --candidates")
+    p.add_argument("--rerank_depth", type=int, default=10,
+                   help="rerank cutoff k (notebook uses 10)")
     p.set_defaults(fn=cmd_eval_full)
     return parser
 

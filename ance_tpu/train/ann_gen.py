@@ -185,9 +185,13 @@ def generate_new_ann(cfg: AnnGenConfig, *,
                      dev_query_positive_id: Mapping[int, Mapping[int, int]],
                      output_dir: str,
                      index: Optional[FlatIPIndex] = None,
-                     inference_only: bool = False) -> Optional[dict]:
+                     inference_only: bool = False,
+                     mesh=None) -> Optional[dict]:
     """One encode→index→eval→mine→write pass
-    (reference run_ann_data_gen.py:231-336)."""
+    (reference run_ann_data_gen.py:231-336). ``mesh`` shards the freshly
+    built index over the data axis (the reference shards its inference the
+    same way, util.py:318-329; rank-0-only FAISS build had no equivalent
+    to lose)."""
     dev_q_emb, dev_q_ids = encode_cache(
         query_encode_fn, params, dev_query_cache, cfg.encode_batch_size)
     passage_emb, passage_ids = encode_cache(
@@ -195,7 +199,7 @@ def generate_new_ann(cfg: AnnGenConfig, *,
         multichunk=cfg.multichunk)
 
     if index is None:
-        index = FlatIPIndex(dim=passage_emb.shape[1])
+        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh)
     index.add(passage_emb)
 
     if inference_only:

@@ -36,7 +36,7 @@ def generate_new_ann_dpr(*, output_num: int, checkpoint_path: str, params,
                          negative_sample: int = 20,
                          dev_search_depth: int = 100,
                          encode_batch_size: int = 128,
-                         index=None, seed: int = 0) -> dict:
+                         index=None, seed: int = 0, mesh=None) -> dict:
     """One DPR encode→index→validate→mine→write pass
     (reference run_ann_data_gen_dpr.py:204-278).
 
@@ -55,7 +55,7 @@ def generate_new_ann_dpr(*, output_num: int, checkpoint_path: str, params,
         body_encode_fn, params, passage_cache, encode_batch_size)
 
     if index is None:
-        index = FlatIPIndex(dim=passage_emb.shape[1])
+        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh)
     index.add(passage_emb)
 
     k_dev = min(dev_search_depth, index.ntotal)

@@ -53,18 +53,25 @@ def run_warmup(cfg: WarmupConfig, *, state, train_step: Callable,
                                      host_id=cfg.host_id,
                                      num_hosts=cfg.num_hosts)
             for batch in batches:
+                # split BEFORE the skip check: a resumed run's dropout
+                # stream then aligns exactly with the uninterrupted run's
+                rng, sub = jax.random.split(rng)
                 if skip > 0:
                     skip -= 1
                     continue
-                rng, sub = jax.random.split(rng)
                 state, metrics = train_step(state, batch, sub)
                 global_step += 1
                 loss = float(metrics["loss"])
                 history.append({"step": global_step, "loss": loss})
                 if cfg.save_steps and cfg.checkpoint_dir and \
                         global_step % cfg.save_steps == 0:
+                    # opt_state included so a preempted 60K-step warmup
+                    # resumes faithfully (reference saves optimizer.pt +
+                    # scheduler.pt, run_warmup.py:222-243)
                     ckpt.save_checkpoint(cfg.checkpoint_dir, global_step,
                                          params_of(state),
+                                         opt_state=getattr(state, "opt_state",
+                                                           None),
                                          extra={"epoch": epoch})
                 if cfg.log_trust_ratios and cfg.eval_every and \
                         global_step % cfg.eval_every == 0:
@@ -85,5 +92,7 @@ def run_warmup(cfg: WarmupConfig, *, state, train_step: Callable,
                     return state, history
     if cfg.checkpoint_dir:
         ckpt.save_checkpoint(cfg.checkpoint_dir, global_step,
-                             params_of(state), extra={"final": True})
+                             params_of(state),
+                             opt_state=getattr(state, "opt_state", None),
+                             extra={"final": True})
     return state, history
