@@ -348,7 +348,8 @@ def cmd_ance_loop(args):
     from ance_tpu.train import checkpoint as ckpt
 
     spec, model = _build_model(args)
-    state, step, mesh, _hosts = _make_training(args, model, spec)
+    state, step, mesh, (host_id, num_hosts) = _make_training(args, model,
+                                                             spec)
     body_method = type(model).body_emb_multichunk if spec.multichunk \
         else type(model).body_emb
     qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
@@ -364,11 +365,19 @@ def cmd_ance_loop(args):
         search_chunk_queries=args.search_chunk_queries,
         multichunk=spec.multichunk, shuffle_seed=args.seed,
         checkpoint_dir=args.output_dir, save_every=args.save_steps,
-        log_trust_ratios=args.log_trust_ratios)
+        log_trust_ratios=args.log_trust_ratios,
+        host_id=host_id, num_hosts=num_hosts)
+    batch_transform = None
+    if num_hosts > 1:
+        from ance_tpu.core.mesh import shard_batch
+
+        def batch_transform(b):
+            return shard_batch(b, mesh)
     train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
     dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
     from ance_tpu.utils.observability import MetricsLogger
-    metrics = MetricsLogger(os.path.join(args.output_dir, "refresh.jsonl"))
+    metrics = MetricsLogger(os.path.join(args.output_dir, "refresh.jsonl")) \
+        if host_id == 0 else None
     with TokenCache(args.data_dir + "/passages") as pc, \
             TokenCache(args.data_dir + "/train-query") as tq, \
             TokenCache(args.data_dir + "/dev-query") as dq:
@@ -379,15 +388,17 @@ def cmd_ance_loop(args):
             query_encode_fn=qfn, body_encode_fn=bfn,
             passage_cache=pc, train_query_cache=tq, dev_query_cache=dq,
             train_qrels=train_qrels, dev_qrels=dev_qrels, mesh=mesh,
-            metrics_logger=metrics)
+            metrics_logger=metrics, batch_transform=batch_transform)
         resumed = loop.resume()
         remaining = max(0, args.max_steps - resumed)
         loop.run(remaining)
-        ckpt.save_checkpoint(args.output_dir,
-                             int(jax.device_get(loop.state.step)),
-                             loop.state.params,
-                             opt_state=loop.state.opt_state)
-    metrics.close()
+        if host_id == 0:
+            ckpt.save_checkpoint(args.output_dir,
+                                 int(jax.device_get(loop.state.step)),
+                                 loop.state.params,
+                                 opt_state=loop.state.opt_state)
+    if metrics is not None:
+        metrics.close()
     print(json.dumps(loop.history[-3:]))
 
 

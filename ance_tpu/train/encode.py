@@ -25,10 +25,22 @@ from ance_tpu.data.feed import mask_from_lengths
 
 
 def iter_cache_batches(cache: TokenCache, batch_size: int,
-                       start: int = 0, stop: Optional[int] = None
+                       start: int = 0, stop: Optional[int] = None,
+                       host_id: int = 0, num_hosts: int = 1
                        ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (offsets [B], ids [B, L], mask [B, L]); the final batch is padded
-    by repeating the last record (padded rows are dropped by the caller)."""
+    """Yield (global offsets [≤B], ids, mask); the final batch is padded by
+    repeating the last record (padded rows are dropped by the caller).
+
+    Multi-host: every host iterates the same GLOBAL key sequence but
+    gathers only its contiguous 1/num_hosts block of each batch
+    ([host·B/H, (host+1)·B/H)) — the caller assembles the global device
+    batch with make_array_from_process_local_data, whose data-axis device
+    order is exactly [host0 rows; host1 rows; ...]. Keys stay global so
+    embedding-id bookkeeping is identical on every host."""
+    if batch_size % num_hosts:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"num_hosts {num_hosts}")
+    per_host = batch_size // num_hosts
     stop = cache.total_number if stop is None else stop
     for s in range(start, stop, batch_size):
         keys = np.arange(s, min(s + batch_size, stop))
@@ -36,7 +48,9 @@ def iter_cache_batches(cache: TokenCache, batch_size: int,
         if real < batch_size:
             keys = np.concatenate(
                 [keys, np.full(batch_size - real, keys[-1])])
-        lengths, tokens = cache.batch(keys)
+        local = keys if num_hosts == 1 else \
+            keys[host_id * per_host:(host_id + 1) * per_host]
+        lengths, tokens = cache.batch(local)
         mask = mask_from_lengths(lengths, cache.embedding_size)
         yield keys[:real], tokens.astype(np.int32), mask
 
@@ -55,9 +69,25 @@ def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
                    out_shardings=repl)
 
 
+def _global_batcher(mesh: Optional[Mesh], num_hosts: int,
+                    data_axis: str = "data") -> Callable:
+    """host-local rows → device batch. Single-process: plain jnp.asarray.
+    Multi-process: assemble the global data-axis-sharded array from each
+    host's contiguous block (the encode-side analogue of
+    core.mesh.shard_batch)."""
+    if num_hosts <= 1:
+        return jnp.asarray
+    if mesh is None:
+        raise ValueError("multi-host encode requires a mesh")
+    sharding = NamedSharding(mesh, P(data_axis))
+    return lambda x: jax.make_array_from_process_local_data(sharding, x)
+
+
 def encode_cache_to_device(encode_fn: Callable, params, cache: TokenCache,
                            batch_size: int = 128, multichunk: bool = False,
-                           start: int = 0, stop: Optional[int] = None
+                           start: int = 0, stop: Optional[int] = None,
+                           host_id: int = 0, num_hosts: int = 1,
+                           mesh: Optional[Mesh] = None
                            ) -> tuple[jax.Array, np.ndarray]:
     """Encode records [start, stop) keeping embeddings DEVICE-resident —
     the feed path for the in-HBM index refresh (no host round-trip; the
@@ -65,11 +95,15 @@ def encode_cache_to_device(encode_fn: Callable, params, cache: TokenCache,
 
     Returns (embeddings [M, D] jax.Array, embedding2id [M] np.int64).
     MaxP chunk rows flatten on device; ids repeat per chunk
-    (reference run_ann_data_gen.py:182-189)."""
+    (reference run_ann_data_gen.py:182-189). Multi-host: each host feeds
+    its block of every batch (see iter_cache_batches); the returned
+    embeddings are replicated, ids identical on every host."""
+    to_dev = _global_batcher(mesh, num_hosts)
     parts: list[jax.Array] = []
     id_parts: list[np.ndarray] = []
-    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop):
-        out = encode_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop,
+                                              host_id, num_hosts):
+        out = encode_fn(params, to_dev(ids), to_dev(mask))
         real = len(keys)
         if multichunk:
             C = out.shape[1]
@@ -85,7 +119,9 @@ def encode_cache_to_device(encode_fn: Callable, params, cache: TokenCache,
 def encode_cache(encode_fn: Callable, params, cache: TokenCache,
                  batch_size: int = 128, multichunk: bool = False,
                  start: int = 0, stop: Optional[int] = None,
-                 flush_every: int = 16) -> tuple[np.ndarray, np.ndarray]:
+                 flush_every: int = 16, host_id: int = 0,
+                 num_hosts: int = 1, mesh: Optional[Mesh] = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Encode cache records [start, stop) → (embeddings [M, D] fp32,
     embedding2id [M] int64).
 
@@ -112,8 +148,10 @@ def encode_cache(encode_fn: Callable, params, cache: TokenCache,
                 id_parts.append(keys)
         pending.clear()
 
-    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop):
-        out_dev = encode_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+    to_dev = _global_batcher(mesh, num_hosts)
+    for keys, ids, mask in iter_cache_batches(cache, batch_size, start, stop,
+                                              host_id, num_hosts):
+        out_dev = encode_fn(params, to_dev(ids), to_dev(mask))
         pending.append((out_dev, len(keys), keys))
         if len(pending) >= flush_every:
             flush()

@@ -75,6 +75,11 @@ class PipelineConfig:
     checkpoint_dir: Optional[str] = None
     save_every: int = 0                # steps between mid-run checkpoints
                                        # (0 = refresh boundaries only)
+    host_id: int = 0                   # multi-host: this process's stripe
+    num_hosts: int = 1                 # (reference run_ann.py:603-646
+                                       # per-process topology; batch_size
+                                       # and encode_batch_size are PER-HOST
+                                       # row counts, global = x num_hosts)
 
 
 class PipelinedAnce:
@@ -88,7 +93,10 @@ class PipelinedAnce:
                  dev_query_cache: TokenCache,
                  train_qrels: Mapping[int, Mapping[int, int]],
                  dev_qrels: Mapping[int, Mapping[int, int]],
-                 mesh=None, metrics_logger=None):
+                 mesh=None, metrics_logger=None, batch_transform=None):
+        """``batch_transform`` maps a host-local feed batch to the global
+        device batch (core.mesh.shard_batch on multi-host systems); None =
+        feed batches go to the train step as-is."""
         self.cfg = cfg
         self.state = state
         self.train_step = train_step
@@ -103,6 +111,9 @@ class PipelinedAnce:
         self.dev_qrels = dev_qrels
         self.mesh = mesh
         self.metrics_logger = metrics_logger
+        self.batch_transform = batch_transform
+        if cfg.num_hosts > 1 and mesh is None:
+            raise ValueError("multi-host pipelined mode requires a mesh")
         self.index: Optional[FlatIPIndex] = None
         self.refresh_no = 0
         self._refresh_t0 = time.perf_counter()
@@ -132,7 +143,7 @@ class PipelinedAnce:
         emb, ids = encode_cache_to_device(
             self.bfn, self.snapshot, self.passage_cache,
             self.cfg.encode_batch_size, multichunk=self.cfg.multichunk,
-            start=start, stop=stop)
+            start=start, stop=stop, **self._host_kwargs())
         if self.index is None or self.index._slice_rows is None:
             n = len(self.passage_cache)
             self._rows_per_record = emb.shape[0] // (stop - start)
@@ -145,10 +156,19 @@ class PipelinedAnce:
                 slice_rows=self.cfg.encode_slice_size * self._rows_per_record)
         self.index.update_slice(start * self._rows_per_record, emb)
 
+    def _host_kwargs(self) -> dict:
+        """Encode-path fan-out args: every host feeds its block of each
+        global encode batch (global batch = num_hosts x encode_batch_size
+        rows, contiguous in corpus order on the data axis)."""
+        if self.cfg.num_hosts <= 1:
+            return {}
+        return {"host_id": self.cfg.host_id,
+                "num_hosts": self.cfg.num_hosts, "mesh": self.mesh}
+
     def _encode_dev(self) -> None:
         self._cyc["dev_emb"], self._cyc["dev_ids"] = encode_cache(
             self.qfn, self.snapshot, self.dev_query_cache,
-            self.cfg.encode_batch_size)
+            self.cfg.encode_batch_size, **self._host_kwargs())
 
     def _search_dev(self, qs: int, qe: int) -> None:
         k = min(self.cfg.dev_search_depth, self.index.ntotal)
@@ -178,7 +198,8 @@ class PipelinedAnce:
     def _encode_train_queries(self, q_start: int, q_end: int) -> None:
         self._cyc["tq_emb"], self._cyc["tq_ids"] = encode_cache(
             self.qfn, self.snapshot, self.train_query_cache,
-            self.cfg.encode_batch_size, start=q_start, stop=q_end)
+            self.cfg.encode_batch_size, start=q_start, stop=q_end,
+            **self._host_kwargs())
 
     def _mine_chunk(self, qs: int, qe: int, chunk_no: int) -> None:
         cfg = self.cfg
@@ -212,10 +233,15 @@ class PipelinedAnce:
             for neg in negs:
                 triples.append((qid, pos, neg))
         if triples:
+            # mining is deterministic and replicated, so every host builds
+            # the identical triple list and stripes it by host_id — the
+            # same global row coverage as the reference's StreamingDataset
+            # rank striping (util.py:318-329)
             feed = TripletBatches(
                 self.train_query_cache, self.passage_cache,
                 np.asarray(triples, np.int64), cfg.batch_size,
-                seed=cfg.shuffle_seed + self.refresh_no)
+                seed=cfg.shuffle_seed + self.refresh_no,
+                host_id=cfg.host_id, num_hosts=cfg.num_hosts)
             self._batches = infinite_batches(feed)
 
         entry = {"refresh": self.refresh_no,
@@ -288,6 +314,8 @@ class PipelinedAnce:
         params; the reference's recovery is likewise regenerate-on-restart,
         run_ann_data_gen.py:663-666)."""
         from ance_tpu.train import checkpoint as ckpt
+        if jax.process_index() != 0:
+            return  # rank-0-only save (reference run_ann.py:307-334)
         step = int(jax.device_get(self.state.step))
         ckpt.save_checkpoint(self.cfg.checkpoint_dir, step,
                              self.params_of(self.state),
@@ -356,8 +384,10 @@ class PipelinedAnce:
             self.bootstrap()
         for i in range(num_steps):
             self.rng, sub = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(self.state,
-                                                  next(self._batches), sub)
+            batch = next(self._batches)
+            if self.batch_transform is not None:
+                batch = self.batch_transform(batch)
+            self.state, metrics = self.train_step(self.state, batch, sub)
             # keep the device array — converting per step would force a sync
             # and break dispatch pipelining; resolved at refresh time
             self._losses_since_refresh.append(metrics["loss"])
