@@ -173,9 +173,13 @@ def _make_training(args, model, spec):
     state = init_train_state(params, opt)
     mesh = make_mesh() if args.data_parallel else None
     if spec.loss == "dpr_inbatch":
-        from ance_tpu.train.dpr_trainer import (
-            biencoder_loss_fn, make_dpr_train_step)
-        step = make_dpr_train_step(biencoder_loss_fn(model), opt, mesh=mesh)
+        from ance_tpu.train.dpr_trainer import make_dpr_accum_train_step
+        # accum preserves the GLOBAL softmax (GradCache two-phase step) —
+        # published DPR configs' large effective batches at microbatch
+        # memory (reference run_ann_dpr.py:65, 226)
+        step = make_dpr_accum_train_step(
+            model, opt, accum_steps=args.gradient_accumulation_steps,
+            mesh=mesh, multichunk=spec.multichunk)
     else:
         step = make_train_step(
             triplet_loss_fn(model, multichunk=spec.multichunk), opt,

@@ -22,6 +22,40 @@ from ance_tpu.data.feed import gather_padded, parse_triple_line
 from ance_tpu.models import losses
 
 
+def encode_towers(model, params, batch, dropout_rng,
+                  deterministic: bool = False, multichunk: bool = False):
+    """Both tower passes for one batch → (q [B, D], ctx [2B, ...],
+    ctx_mask). Context rows interleave pos/neg: ctx[2i] = pos_i,
+    ctx[2i+1] = neg_i (reference run_ann_dpr.py:356-363)."""
+    # fresh dropout mask per tower (the reference's separate forwards
+    # each draw independent randomness)
+    q_rng, ctx_rng = jax.random.split(dropout_rng)
+    q = model.apply({"params": params}, batch["query_ids"],
+                    batch["query_mask"], deterministic=deterministic,
+                    rngs={"dropout": q_rng}, method=model.query_emb)
+    B = batch["pos_ids"].shape[0]
+    ctx_ids = jnp.stack([batch["pos_ids"], batch["neg_ids"]],
+                        axis=1).reshape(2 * B, -1)
+    ctx_mask = jnp.stack([batch["pos_mask"], batch["neg_mask"]],
+                         axis=1).reshape(2 * B, -1)
+    body_method = model.body_emb_multichunk if multichunk \
+        else model.body_emb
+    ctx = model.apply({"params": params}, ctx_ids, ctx_mask,
+                      deterministic=deterministic,
+                      rngs={"dropout": ctx_rng}, method=body_method)
+    return q, ctx, ctx_mask
+
+
+def inbatch_loss_from_embs(q, ctx, ctx_mask, multichunk: bool = False):
+    """Global-softmax in-batch loss over gathered embeddings (positives at
+    even ctx indices) → (loss, correct_count)."""
+    positive_idx = jnp.arange(q.shape[0]) * 2
+    if multichunk:
+        return losses.dpr_inbatch_multichunk_loss(q, ctx, ctx_mask,
+                                                  positive_idx)
+    return losses.dpr_inbatch_loss(q, ctx, positive_idx)
+
+
 def biencoder_loss_fn(model, deterministic: bool = False,
                       multichunk: bool = False) -> Callable:
     """loss(params, batch, rng) → (loss, correct_count) with positives at
@@ -32,30 +66,9 @@ def biencoder_loss_fn(model, deterministic: bool = False,
     long docs, which the reference's triplet-only MaxP path lacks."""
 
     def loss_fn(params, batch, dropout_rng):
-        # fresh dropout mask per tower (the reference's separate forwards
-        # each draw independent randomness)
-        q_rng, ctx_rng = jax.random.split(dropout_rng)
-        q = model.apply({"params": params}, batch["query_ids"],
-                        batch["query_mask"], deterministic=deterministic,
-                        rngs={"dropout": q_rng}, method=model.query_emb)
-        B = batch["pos_ids"].shape[0]
-        # interleave pos/neg: ctx[2i] = pos_i, ctx[2i+1] = neg_i
-        ctx_ids = jnp.stack([batch["pos_ids"], batch["neg_ids"]],
-                            axis=1).reshape(2 * B, -1)
-        ctx_mask = jnp.stack([batch["pos_mask"], batch["neg_mask"]],
-                             axis=1).reshape(2 * B, -1)
-        body_method = model.body_emb_multichunk if multichunk \
-            else model.body_emb
-        ctx = model.apply({"params": params}, ctx_ids, ctx_mask,
-                          deterministic=deterministic,
-                          rngs={"dropout": ctx_rng}, method=body_method)
-        positive_idx = jnp.arange(B) * 2
-        if multichunk:
-            loss, correct = losses.dpr_inbatch_multichunk_loss(
-                q, ctx, ctx_mask, positive_idx)
-        else:
-            loss, correct = losses.dpr_inbatch_loss(q, ctx, positive_idx)
-        return loss, correct
+        q, ctx, ctx_mask = encode_towers(model, params, batch, dropout_rng,
+                                         deterministic, multichunk)
+        return inbatch_loss_from_embs(q, ctx, ctx_mask, multichunk)
 
     return loss_fn
 
@@ -82,6 +95,103 @@ def make_dpr_train_step(loss_fn: Callable, optimizer,
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(data_axis))
+    return jax.jit(step_fn, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+
+def make_dpr_accum_train_step(model, optimizer, accum_steps: int = 1,
+                              mesh=None, data_axis: str = "data",
+                              deterministic: bool = False,
+                              multichunk: bool = False) -> Callable:
+    """Gradient accumulation that PRESERVES global in-batch semantics.
+
+    The reference scales its effective batch by gradient_accumulation_steps
+    (run_ann_dpr.py:65, 226) but accumulates separate per-microbatch
+    softmaxes, shrinking negatives-per-softmax. A naive scan-accum port
+    would do the same. This step instead computes the exact full-batch
+    gradient at microbatch activation memory (the GradCache decomposition):
+
+      1. forward-only ``lax.scan`` over microbatches accumulating
+         EMBEDDINGS (not grads) — activations freed per microbatch;
+      2. ONE global-softmax loss + backward over the gathered
+         [B, 2B] score matrix → cotangents dL/dq, dL/dctx;
+      3. second scan re-encodes each microbatch under ``jax.vjp`` and pulls
+         its cotangent rows back to param grads, summing exactly
+         dL/dθ = Σ_i dL/de_i · ∂e_i/∂θ.
+
+    The result is bit-equal to the unaccumulated full-batch step (same
+    embeddings, same loss, same grads — no semantics change), so large
+    published DPR batches run in microbatch memory.
+
+    Batch leading dims must divide by ``accum_steps``. Dropout: each
+    microbatch's key is reused between phases 1 and 3 so the VJP re-encode
+    sees identical masks; the accum step's dropout stream therefore differs
+    from the unaccumulated step's (compare in deterministic mode).
+    """
+    import optax
+    from ance_tpu.train.trainer import TrainState
+
+    if accum_steps <= 1:
+        return make_dpr_train_step(
+            biencoder_loss_fn(model, deterministic, multichunk),
+            optimizer, mesh=mesh, data_axis=data_axis)
+
+    def encode_micro(params, mb, rng):
+        return encode_towers(model, params, mb, rng, deterministic,
+                             multichunk)
+
+    def step_fn(state: TrainState, batch, dropout_rng):
+        A = accum_steps
+        micro = jax.tree.map(
+            lambda x: x.reshape((A, x.shape[0] // A) + x.shape[1:]), batch)
+        rngs = jax.random.split(dropout_rng, A)
+
+        def fwd(_, inp):
+            mb, rng = inp
+            return None, encode_micro(state.params, mb, rng)
+
+        _, (qs, ctxs, ctx_masks) = jax.lax.scan(fwd, None, (micro, rngs))
+        q_all = qs.reshape((-1,) + qs.shape[2:])
+        ctx_all = ctxs.reshape((-1,) + ctxs.shape[2:])
+        mask_all = ctx_masks.reshape((-1,) + ctx_masks.shape[2:])
+
+        def loss_on(q, ctx):
+            return inbatch_loss_from_embs(q, ctx, mask_all, multichunk)
+
+        (loss, correct), (dq, dctx) = jax.value_and_grad(
+            loss_on, argnums=(0, 1), has_aux=True)(q_all, ctx_all)
+
+        def bwd(grad_acc, inp):
+            mb, rng, dqi, dci = inp
+
+            def enc_p(p):
+                q, ctx, _ = encode_micro(p, mb, rng)
+                return q, ctx
+
+            _, vjp_fn = jax.vjp(enc_p, state.params)
+            (g,) = vjp_fn((dqi, dci))
+            return jax.tree.map(jnp.add, grad_acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, _ = jax.lax.scan(
+            bwd, zero, (micro, rngs, dq.reshape(qs.shape),
+                        dctx.reshape(ctxs.shape)))
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        B = batch["query_ids"].shape[0]
+        metrics = {"loss": loss, "correct": correct,
+                   "correct_ratio": correct / B}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))
     return jax.jit(step_fn, in_shardings=(repl, data, repl),

@@ -264,3 +264,91 @@ def test_dpr_fixed_epoch_mode(tmp_path):
     path, step_no = ckpt.get_latest_checkpoint(ckpt_dir)
     assert path is not None and ckpt.is_complete(path)
     assert step_no == history[-1]["step"]
+
+
+def _rand_dpr_batch(rs, B, L):
+    def tok():
+        return rs.randint(4, 500, (B, L)).astype(np.int32)
+    ones = np.ones((B, L), np.int32)
+    return {"query_ids": tok(), "query_mask": ones,
+            "pos_ids": tok(), "pos_mask": ones,
+            "neg_ids": tok(), "neg_mask": ones}
+
+
+def test_dpr_accum_equals_full_batch():
+    """Two-phase gradient accumulation (VERDICT r2 #3): accum=4 must equal
+    the unaccumulated full-batch step — same loss AND same updated params —
+    because the softmax stays GLOBAL (the naive per-microbatch-softmax
+    accumulation the reference uses shrinks negatives-per-softmax and would
+    NOT match). Deterministic mode, per the done criterion.
+
+    Memory headroom: phase 1/3 scans keep only ONE microbatch's encoder
+    activations live (plus [B, D] embeddings), so effective batch scales
+    ~accum_steps x at fixed activation memory.
+
+    Optimizer is SGD so updated params are a direct proxy for the raw
+    gradients: normalized optimizers (LAMB/Adam) turn the ~1e-8-relative
+    fp-reduction noise between the two paths into ±sign flips on leaves
+    whose true gradient is ~0, which would test noise, not semantics."""
+    import optax
+    from ance_tpu.train.dpr_trainer import make_dpr_accum_train_step
+
+    model = _tiny_biencoder()
+    L = 16
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    opt = optax.sgd(1e-2)
+    # independent buffers: both steps donate their state, so sharing params
+    # between the two states would delete the other's arrays
+    state_full = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    state_acc = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    step_full = make_dpr_train_step(
+        biencoder_loss_fn(model, deterministic=True), opt)
+    step_acc = make_dpr_accum_train_step(model, opt, accum_steps=4,
+                                         deterministic=True)
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        batch = _rand_dpr_batch(rs, 8, L)
+        rng = jax.random.PRNGKey(100 + i)
+        state_full, m_full = step_full(state_full, dict(batch), rng)
+        state_acc, m_acc = step_acc(state_acc, dict(batch), rng)
+        np.testing.assert_allclose(float(m_acc["loss"]),
+                                   float(m_full["loss"]), rtol=1e-6)
+        assert int(m_acc["correct"]) == int(m_full["correct"])
+    for (path_a, a), (path_b, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state_acc.params)[0],
+            jax.tree_util.tree_flatten_with_path(state_full.params)[0]):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5 * scale,
+            err_msg=jax.tree_util.keystr(path_a))
+
+
+def test_dpr_accum_differs_from_per_microbatch_softmax():
+    """The thing the two-phase step must NOT do: averaging per-microbatch
+    in-batch losses (each softmax over 2b contexts instead of 2B) gives a
+    DIFFERENT loss — proving the accum step's global softmax is load-bearing,
+    not a no-op refactor."""
+    from ance_tpu.train.dpr_trainer import (
+        encode_towers, inbatch_loss_from_embs)
+
+    model = _tiny_biencoder()
+    L = 16
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, L), jnp.int32),
+                                 jnp.ones((2, L), jnp.int32))["params"]
+    rs = np.random.RandomState(1)
+    batch = _rand_dpr_batch(rs, 8, L)
+    rng = jax.random.PRNGKey(0)
+    q, ctx, mask = encode_towers(model, params, batch, rng,
+                                 deterministic=True)
+    full_loss, _ = inbatch_loss_from_embs(q, ctx, mask)
+    micro_losses = []
+    for s in range(0, 8, 2):
+        mb = {k: v[s:s + 2] for k, v in batch.items()}
+        qm, cm, mm = encode_towers(model, params, mb, rng,
+                                   deterministic=True)
+        ml, _ = inbatch_loss_from_embs(qm, cm, mm)
+        micro_losses.append(float(ml))
+    assert abs(float(full_loss) - np.mean(micro_losses)) > 1e-3
