@@ -396,6 +396,7 @@ def cmd_ance_loop(args):
         resumed = loop.resume()
         remaining = max(0, args.max_steps - resumed)
         loop.run(remaining)
+        loop.flush_checkpoints()
         if host_id == 0:
             ckpt.save_checkpoint(args.output_dir,
                                  int(jax.device_get(loop.state.step)),

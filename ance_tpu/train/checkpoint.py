@@ -73,8 +73,14 @@ def is_complete(ckpt_dir: str) -> bool:
 def load_checkpoint(ckpt_dir: str, params_template: Any,
                     opt_state_template: Any = None):
     """Load params (and optionally opt state) into given template pytrees.
-    Returns (params, opt_state_or_None, meta)."""
-    with open(os.path.join(ckpt_dir, "params.msgpack"), "rb") as f:
+    Returns (params, opt_state_or_None, meta). Reads both the msgpack
+    layout (save_checkpoint) and the orbax layout (AsyncCheckpointer), so
+    resume/generator consumers need not care which writer produced it."""
+    msgpack_path = os.path.join(ckpt_dir, "params.msgpack")
+    if not os.path.exists(msgpack_path):
+        return _load_orbax_checkpoint(ckpt_dir, params_template,
+                                      opt_state_template)
+    with open(msgpack_path, "rb") as f:
         params = serialization.from_bytes(params_template, f.read())
     opt_state = None
     opt_path = os.path.join(ckpt_dir, "opt_state.msgpack")
@@ -84,6 +90,30 @@ def load_checkpoint(ckpt_dir: str, params_template: Any,
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         meta = json.load(f)
     return params, opt_state, meta
+
+
+def _load_orbax_checkpoint(ckpt_dir: str, params_template: Any,
+                           opt_state_template: Any = None):
+    """Orbax layouts: ``state/`` composite ({"params", "opt_state"?}) from
+    the async writer, or the legacy ``params/`` item."""
+    import orbax.checkpoint as ocp
+    with open(os.path.join(ckpt_dir, "meta.json")) as f:
+        meta = json.load(f)
+    state_dir = os.path.join(ckpt_dir, "state")
+    with ocp.StandardCheckpointer() as ckptr:
+        if os.path.isdir(state_dir):
+            if opt_state_template is not None and meta.get("has_opt_state"):
+                restored = ckptr.restore(
+                    os.path.abspath(state_dir),
+                    target={"params": params_template,
+                            "opt_state": opt_state_template})
+                return restored["params"], restored["opt_state"], meta
+            restored = ckptr.restore(os.path.abspath(state_dir))
+            return restored["params"], None, meta
+        params = ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, "params")),
+            target=params_template)
+    return params, None, meta
 
 
 class AsyncCheckpointer:
@@ -106,17 +136,25 @@ class AsyncCheckpointer:
         except Exception:
             self._ckptr = None
 
-    def save(self, step: int, params: Any, extra: Optional[dict] = None
-             ) -> str:
+    def save(self, step: int, params: Any, opt_state: Any = None,
+             extra: Optional[dict] = None) -> str:
+        """Start a non-blocking save (device→host copy is synchronous —
+        safe alongside donating train steps — the disk write is not).
+        Call :meth:`wait` before relying on the checkpoint or starting
+        another save."""
         final = os.path.join(self.directory, f"checkpoint-{step}")
         if self._ckptr is None:
-            return save_checkpoint(self.directory, step, params, extra=extra)
+            return save_checkpoint(self.directory, step, params,
+                                   opt_state=opt_state, extra=extra)
         os.makedirs(self.directory, exist_ok=True)
         if os.path.exists(final):
             shutil.rmtree(final)
-        self._ckptr.save(os.path.abspath(os.path.join(final, "params")),
-                         args=self._ocp.args.StandardSave(params))
-        self._pending = (final, step, extra)
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        self._ckptr.save(os.path.abspath(os.path.join(final, "state")),
+                         args=self._ocp.args.StandardSave(payload))
+        self._pending = (final, step, extra, opt_state is not None)
         return final
 
     def wait(self) -> None:
@@ -125,8 +163,9 @@ class AsyncCheckpointer:
             return
         self._ckptr.wait_until_finished()
         if getattr(self, "_pending", None):
-            final, step, extra = self._pending
-            meta = {"step": int(step), "format": "orbax"}
+            final, step, extra, has_opt = self._pending
+            meta = {"step": int(step), "format": "orbax",
+                    "has_opt_state": has_opt}
             meta.update(extra or {})
             with open(os.path.join(final, "meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -135,14 +174,9 @@ class AsyncCheckpointer:
             self._pending = None
 
     def restore(self, ckpt_dir: str, params_template: Any):
-        if self._ckptr is None or not os.path.exists(
-                os.path.join(ckpt_dir, "params")):
-            return load_checkpoint(ckpt_dir, params_template)[0]
-        import orbax.checkpoint as ocp
-        with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(
-                os.path.abspath(os.path.join(ckpt_dir, "params")),
-                target=params_template)
+        # load_checkpoint dispatches on layout (msgpack / orbax state/ /
+        # legacy orbax params/)
+        return load_checkpoint(ckpt_dir, params_template)[0]
 
 
 def get_latest_checkpoint(training_dir: str,

@@ -112,6 +112,7 @@ class PipelinedAnce:
         self.mesh = mesh
         self.metrics_logger = metrics_logger
         self.batch_transform = batch_transform
+        self._async_ckptr = None
         if cfg.num_hosts > 1 and mesh is None:
             raise ValueError("multi-host pipelined mode requires a mesh")
         self.index: Optional[FlatIPIndex] = None
@@ -312,15 +313,32 @@ class PipelinedAnce:
         """Params + optimizer state + refresh counter — enough for an
         idempotent restart (resume() re-bootstraps mining from the restored
         params; the reference's recovery is likewise regenerate-on-restart,
-        run_ann_data_gen.py:663-666)."""
-        from ance_tpu.train import checkpoint as ckpt
+        run_ann_data_gen.py:663-666).
+
+        NON-BLOCKING: only the device→host copy is synchronous; the disk
+        write runs in orbax's background thread so it overlaps the next
+        train steps instead of stalling the step gap (at 8.8M scale the
+        params + LAMB moments serialize for seconds). The previous save is
+        fenced first, and the DONE marker is published only at the fence —
+        the completeness protocol is unchanged (reference save-fence
+        behavior: run_warmup.py:222-244)."""
+        from ance_tpu.train.checkpoint import AsyncCheckpointer
         if jax.process_index() != 0:
             return  # rank-0-only save (reference run_ann.py:307-334)
+        if self._async_ckptr is None:
+            self._async_ckptr = AsyncCheckpointer(self.cfg.checkpoint_dir)
+        self._async_ckptr.wait()  # fence + publish any in-flight save
         step = int(jax.device_get(self.state.step))
-        ckpt.save_checkpoint(self.cfg.checkpoint_dir, step,
-                             self.params_of(self.state),
-                             opt_state=getattr(self.state, "opt_state", None),
-                             extra={"refresh_no": self.refresh_no})
+        self._async_ckptr.save(step, self.params_of(self.state),
+                               opt_state=getattr(self.state, "opt_state",
+                                                 None),
+                               extra={"refresh_no": self.refresh_no})
+
+    def flush_checkpoints(self) -> None:
+        """Fence the last async save (publishes its DONE marker). Call
+        before shutdown or before reading the newest checkpoint."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait()
 
     def resume(self) -> int:
         """Restore the newest complete checkpoint from cfg.checkpoint_dir
@@ -397,3 +415,4 @@ class PipelinedAnce:
                 self._save_checkpoint()
             if (i + 1) % self.cfg.train_steps_per_slice == 0 and self._work:
                 self._run_item()
+        self.flush_checkpoints()

@@ -255,3 +255,44 @@ def test_dev_metrics_tolerates_empty_dev_set(tmp_path):
     loop._cyc = {}  # the state an empty dev cache leaves behind
     loop._dev_metrics()
     assert loop._cyc["dev_ndcg"] == 0.0 and loop._cyc["dev_recall"] == 0.0
+
+
+def test_pipelined_checkpoint_is_async(tmp_path):
+    """VERDICT r2 #6: refresh-boundary saves must not serialize into the
+    train-step gap. The save call only does the device→host copy; the disk
+    publish (DONE marker) happens at the NEXT fence — so right after a
+    boundary save the checkpoint dir exists but is NOT complete, and
+    flush_checkpoints() publishes it. The restored params + LAMB state must
+    equal the live ones exactly."""
+    import glob
+    import os
+    from ance_tpu.train import checkpoint as ckpt
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    cfg = PipelineConfig(train_steps_per_slice=4, encode_slice_size=16,
+                         encode_batch_size=16, batch_size=16,
+                         topk_training=32, negative_sample=8,
+                         ann_chunk_factor=1, dev_search_depth=32,
+                         checkpoint_dir=ckpt_dir)
+    loop = _setup(tmp_path, cfg)
+    loop.bootstrap()  # finalize starts an async save (refresh boundary)
+    dirs = glob.glob(os.path.join(ckpt_dir, "checkpoint-*"))
+    assert dirs, "boundary save did not start"
+    # in flight: data may be written, but DONE is only published at a fence
+    assert not any(ckpt.is_complete(d) for d in dirs)
+    latest, step0 = ckpt.get_latest_checkpoint(ckpt_dir)
+    assert latest is None  # consumers (generators) don't see it yet
+
+    loop.flush_checkpoints()
+    latest, step0 = ckpt.get_latest_checkpoint(ckpt_dir)
+    assert latest is not None and ckpt.is_complete(latest)
+    params, opt_state, meta = ckpt.load_checkpoint(
+        latest, loop.params_of(loop.state), loop.state.opt_state)
+    assert meta["refresh_no"] == 0 and meta.get("has_opt_state")
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(loop.params_of(loop.state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert opt_state is not None
+    for a, b in zip(jax.tree.leaves(opt_state),
+                    jax.tree.leaves(loop.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
