@@ -57,6 +57,14 @@ class EncoderConfig:
                                       # three times (HBM win); parameter tree
                                       # is unchanged (kernels concatenated at
                                       # apply time), so checkpoints interop
+    gelu_approx: bool = False         # tanh-approximate gelu instead of the
+                                      # exact erf one HF uses — erf is a
+                                      # transcendental on the VPU and the FFN
+                                      # activation is the largest elementwise
+                                      # tensor in the model ([B·S, 4H]);
+                                      # max |Δ| of the approximation is ~3e-4
+                                      # per activation (perf knob, off for
+                                      # strict HF parity)
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -173,7 +181,8 @@ class Mlp(nn.Module):
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         h = nn.Dense(cfg.intermediate_size, kernel_init=init,
                      name="intermediate", dtype=cfg.dtype)(x)
-        h = nn.gelu(h, approximate=False)  # HF BERT/RoBERTa use exact gelu
+        # HF BERT/RoBERTa use exact (erf) gelu; tanh approx is a perf knob
+        h = nn.gelu(h, approximate=cfg.gelu_approx)
         h = nn.Dense(cfg.hidden_size, kernel_init=init, name="output",
                      dtype=cfg.dtype)(h)
         return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)

@@ -29,17 +29,23 @@ def mask_to_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                  bias: jax.Array | None = None) -> jax.Array:
-    """Scaled dot-product attention, softmax accumulated in fp32.
+                  bias: jax.Array | None = None,
+                  softmax_dtype=jnp.float32) -> jax.Array:
+    """Scaled dot-product attention, softmax accumulated in ``softmax_dtype``.
 
     q/k/v: [B, S, H, D]; bias broadcastable to [B, H, S, S]. Returns [B, S, H, D].
+
+    ``softmax_dtype=bf16`` halves the [B, H, S, S] logits' HBM traffic —
+    the dominant attention cost at short seq where score FLOPs are ~1% of
+    the model (perf knob; jax.nn.softmax max-subtracts, so bf16 is stable,
+    but keep fp32 for strict reference parity).
     """
     depth = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(depth).astype(jnp.float32)
+    scale = jnp.asarray(1.0 / jnp.sqrt(depth), softmax_dtype)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=softmax_dtype) * scale
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + bias.astype(softmax_dtype)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
@@ -62,6 +68,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Dispatch over attention implementations. q/k/v: [B, S, H, D].
 
     ``xla``   — einsum + fp32 softmax (reference semantics, CPU-safe)
+    ``xla_bf16`` — einsum + bf16 softmax (halved logits HBM traffic; the
+                short-seq perf knob — see xla_attention)
     ``fused`` — Pallas whole-sequence fused kernel (mid seq, TPU hot path)
     ``flash`` — Pallas blocked online-softmax kernel (long seq)
     ``auto``  — measured v5e crossovers: XLA below seq 256 (fused measured
@@ -83,4 +91,6 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if impl == "fused":
         return _fused_fn()(q, k, v, attention_mask)
     bias = None if attention_mask is None else mask_to_bias(attention_mask)
+    if impl == "xla_bf16":
+        return xla_attention(q, k, v, bias, softmax_dtype=jnp.bfloat16)
     return xla_attention(q, k, v, bias)
