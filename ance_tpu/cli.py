@@ -407,6 +407,76 @@ def cmd_ance_loop(args):
     print(json.dumps(loop.history[-3:]))
 
 
+def cmd_seed_pretrain(args):
+    """SEED-Encoder pretraining (MLM + CLS-bottleneck decoder) over a
+    preprocessed token cache — beyond-parity: the reference ships only
+    pretrained SEED checkpoints, no pretraining code (SEED-Encoder.md:1)."""
+    import jax
+    import jax.numpy as jnp
+    from ance_tpu.core.mesh import (initialize_distributed, make_mesh,
+                                    shard_batch)
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.data.wordpiece import SeedTokenizer
+    from ance_tpu.models.seed import (
+        SeedDecoderConfig, SeedForMaskedLM, seed_encoder_config)
+    from ance_tpu.optim.schedules import warmup_cosine, warmup_linear
+    from ance_tpu.train.seed_pretrain import (
+        SeedPretrainConfig, make_seed_pretrain_step, run_seed_pretrain)
+    from ance_tpu.train.trainer import init_train_state, make_optimizer
+
+    host_id, num_hosts = initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes, process_id=args.process_id)
+    tok = SeedTokenizer.from_vocab_file(args.model_name_or_path)
+    vocab_size = len(tok.vocab)
+    overrides = json.loads(args.encoder_overrides) \
+        if args.encoder_overrides else {}
+    ecfg = seed_encoder_config(
+        vocab_size, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        attention_impl=args.attention, pad_token_id=tok.pad_token_id,
+        **overrides)
+    dcfg = SeedDecoderConfig(
+        num_layers=args.decoder_layers,
+        attention_window=args.decoder_atten_window,
+        hidden_size=ecfg.hidden_size, num_heads=ecfg.num_heads,
+        intermediate_size=ecfg.intermediate_size)
+    model = SeedForMaskedLM(ecfg, dcfg)
+    sched_fn = warmup_cosine if args.lr_style == "cosine" else warmup_linear
+    schedule = sched_fn(args.learning_rate, args.warmup_steps, args.max_steps)
+    opt = make_optimizer(args.optimizer, schedule, eps=args.adam_epsilon,
+                         weight_decay=args.weight_decay,
+                         max_grad_norm=args.max_grad_norm)
+    L = args.max_seq_length
+    shape = jnp.zeros((2, L), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), shape,
+                                 jnp.ones((2, L), jnp.int32), shape)["params"]
+    state = init_train_state(params, opt)
+    mesh = make_mesh() if args.data_parallel else None
+    ratio = tuple(float(x) for x in args.train_ratio.split(":"))
+    step = make_seed_pretrain_step(model, opt, train_ratio=ratio, mesh=mesh)
+    batch_transform = None
+    if mesh is not None and num_hosts > 1:
+        def batch_transform(b):
+            return shard_batch(b, mesh)
+    cfg = SeedPretrainConfig(
+        num_epochs=args.num_train_epochs,
+        batch_size=args.per_device_train_batch_size,
+        mask_prob=args.mask_prob, max_steps=args.max_steps,
+        save_steps=args.save_steps, log_every=args.log_every,
+        checkpoint_dir=args.output_dir, seed=args.seed,
+        host_id=host_id, num_hosts=num_hosts)
+    special_ids = [tok.cls_token_id, tok.sep_token_id, tok.pad_token_id,
+                   tok.unk_token_id, tok.mask_token_id]
+    with TokenCache(args.data_dir + "/passages") as cache:
+        state, history = run_seed_pretrain(
+            cfg, state=state, train_step=step, cache=cache,
+            rng=jax.random.PRNGKey(args.seed),
+            mask_token_id=tok.mask_token_id, vocab_size=vocab_size,
+            special_ids=special_ids, pad_token_id=tok.pad_token_id,
+            batch_transform=batch_transform)
+    print(json.dumps(history[-3:]))
+
+
 def cmd_generate(args, inference_only=False):
     import jax
     from ance_tpu.data.cache import TokenCache
@@ -913,6 +983,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_trust_ratios", action="store_true",
                    help="LAMB trust-ratio stats in each refresh entry")
     p.set_defaults(fn=cmd_ance_loop)
+
+    p = sub.add_parser("seed-pretrain",
+                       help="SEED-Encoder pretraining: MLM + CLS-bottleneck "
+                            "decoder over {data_dir}/passages")
+    _add_common_model_flags(p)
+    _add_train_flags(p)
+    p.add_argument("--data_dir", required=True,
+                   help="preprocessed dir whose passages cache is the "
+                        "pretraining corpus")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=10000)
+    p.add_argument("--mask_prob", type=float, default=0.15)
+    p.add_argument("--train_ratio", default="0.5:0.5",
+                   help="MLM:decoder loss weights "
+                        "(configuration_seed_encoder.py:92)")
+    p.add_argument("--decoder_layers", type=int, default=3,
+                   help="1 or 3 (shipped SEED configs)")
+    p.add_argument("--decoder_atten_window", type=int, default=2,
+                   help="decoder local-attention span (2 or 8)")
+    p.add_argument("--log_every", type=int, default=100)
+    p.set_defaults(fn=cmd_seed_pretrain)
 
     for name, inference in (("generate", False), ("infer", True)):
         p = sub.add_parser(name)
