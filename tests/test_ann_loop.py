@@ -143,6 +143,7 @@ def test_load_offset_qrels(tmp_path):
     assert positives_from_qrels(qrels) == {0: 10, 3: 12}
 
 
+@pytest.mark.slow
 def test_end_to_end_ance_cycles(tmp_path):
     paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
     cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,

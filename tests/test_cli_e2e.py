@@ -10,6 +10,9 @@ import pytest
 
 from ance_tpu.cli import main
 
+# whole-module e2e tier: deselect with -m 'not slow' for the smoke run
+pytestmark = pytest.mark.slow
+
 
 def _write_raw(tmp_path):
     words = [f"word{i}" for i in range(40)]

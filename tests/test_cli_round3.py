@@ -10,6 +10,9 @@ import pytest
 from ance_tpu.cli import main
 from test_cli_e2e import TINY, _write_raw
 
+# whole-module e2e tier: deselect with -m 'not slow' for the smoke run
+pytestmark = pytest.mark.slow
+
 
 def _warmup_args(tmp_path, triples, out_dir, max_steps):
     return ["warmup", "--model_type", "seeddot_nll",

@@ -161,6 +161,7 @@ def _tiny_biencoder():
     return BiEncoder(cfg)
 
 
+@pytest.mark.slow
 def test_dpr_inbatch_training_learns(tmp_path):
     cfg = _write_dpr_raw(tmp_path)
     preprocess_dpr(cfg, make_fake_bert_tokenizer)
@@ -227,6 +228,7 @@ def test_evaluate_dev_is_deterministic(tmp_path):
         assert float(l1) != float(l2)
 
 
+@pytest.mark.slow
 def test_dpr_fixed_epoch_mode(tmp_path):
     """--num_epoch path (reference run_ann_dpr.py:179-211): fixed data
     epochs, per-epoch dev eval, per-epoch checkpoints."""
@@ -275,6 +277,7 @@ def _rand_dpr_batch(rs, B, L):
             "neg_ids": tok(), "neg_mask": ones}
 
 
+@pytest.mark.slow
 def test_dpr_accum_equals_full_batch():
     """Two-phase gradient accumulation (VERDICT r2 #3): accum=4 must equal
     the unaccumulated full-batch step — same loss AND same updated params —

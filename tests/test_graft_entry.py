@@ -8,8 +8,12 @@ re-exec (host exposes fewer devices than requested).
 """
 
 import os
+import pytest
 import subprocess
 import sys
+
+# whole-module e2e tier: deselect with -m 'not slow' for the smoke run
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -15,6 +15,9 @@ import sys
 import numpy as np
 import pytest
 
+# whole-module e2e tier: deselect with -m 'not slow' for the smoke run
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""

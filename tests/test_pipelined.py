@@ -18,6 +18,9 @@ from ance_tpu.train.trainer import (
 
 from test_ann_loop import QLEN, VOCAB, _build_corpus
 
+# whole-module e2e tier: deselect with -m 'not slow' for the smoke run
+pytestmark = pytest.mark.slow
+
 
 def _setup(tmp_path, cfg_pipeline):
     paths, train_qrels, dev_qrels = _build_corpus(tmp_path)

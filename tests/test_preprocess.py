@@ -53,6 +53,7 @@ def _write_corpus(tmp_path):
     return str(d)
 
 
+@pytest.mark.slow
 def test_preprocess_passage_mode(tmp_path):
     data_dir = _write_corpus(tmp_path)
     out_dir = str(tmp_path / "out")

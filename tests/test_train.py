@@ -104,6 +104,7 @@ def _train_setup(tmp_path, accum=1, mesh=None, dropout=0.0, lr=2e-2):
     return model, feed, state, step
 
 
+@pytest.mark.slow
 def test_training_loss_decreases(tmp_path):
     _, feed, state, step = _train_setup(tmp_path)
     rng = jax.random.PRNGKey(1)
@@ -117,6 +118,7 @@ def test_training_loss_decreases(tmp_path):
     assert np.mean(history[-4:]) < np.mean(history[:4]) * 0.7, history
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(tmp_path):
     """accum=2 over a batch equals one full-batch step when dropout is off."""
     _, feed, state1, step1 = _train_setup(tmp_path, accum=1)
@@ -134,6 +136,7 @@ def test_grad_accum_matches_full_batch(tmp_path):
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_step_matches_single(tmp_path):
     mesh = make_mesh(8)
     _, feed, state_m, step_m = _train_setup(tmp_path, mesh=mesh)
@@ -177,6 +180,7 @@ def test_encode_cache_and_multichunk(tmp_path):
         np.testing.assert_allclose(emb_r, emb[10:20], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_maxp_multichunk_training_step(tmp_path):
     """MaxP: body encoded as chunks, NLL_MultiChunk loss, one train step
     (reference rdot_nll_multi_chunk path, models.py:160-199 + 84-134)."""

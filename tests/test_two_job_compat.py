@@ -31,6 +31,7 @@ def test_sample_one_neg_triples():
     assert t[0, 2] in (5, 6, 7) and t[1].tolist() == [2, 20, 9]
 
 
+@pytest.mark.slow
 def test_two_job_handoff(tmp_path):
     paths, train_qrels, dev_qrels = _build_corpus(tmp_path)
     cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=32, num_layers=2,

@@ -88,6 +88,7 @@ def test_combined_eval_full_and_rerank():
     assert rerank == pytest.approx(0.5)      # only qid 100 can hit
 
 
+@pytest.mark.slow
 def test_run_warmup_trains_and_checkpoints(tmp_path):
     tok = FakeTokenizer()
     lines = []
