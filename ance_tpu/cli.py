@@ -58,9 +58,10 @@ def _add_common_model_flags(p):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 encoder compute (recommended on TPU)")
     p.add_argument("--attention", default="auto",
-                   choices=["auto", "xla", "fused", "flash"],
-                   help="auto picks by measured crossover: xla < seq 256, "
-                        "fused 256-1024, flash beyond")
+                   choices=["auto", "xla", "xla_bf16", "fused", "flash"],
+                   help="auto picks by measured crossover: xla (bf16 "
+                        "softmax under --bf16) < seq 256, fused 256-1024, "
+                        "flash beyond")
     p.add_argument("--encoder_overrides", default=None,
                    help="debug/smoke-test JSON overriding encoder-config "
                         "fields, e.g. '{\"num_layers\": 2, "

@@ -57,14 +57,18 @@ class EncoderConfig:
                                       # three times (HBM win); parameter tree
                                       # is unchanged (kernels concatenated at
                                       # apply time), so checkpoints interop
-    gelu_approx: bool = False         # tanh-approximate gelu instead of the
-                                      # exact erf one HF uses — erf is a
-                                      # transcendental on the VPU and the FFN
-                                      # activation is the largest elementwise
-                                      # tensor in the model ([B·S, 4H]);
-                                      # max |Δ| of the approximation is ~3e-4
-                                      # per activation (perf knob, off for
-                                      # strict HF parity)
+    gelu_approx: Optional[bool] = None  # tanh-approximate gelu vs the exact
+                                      # erf one HF uses. None = AUTO: tanh
+                                      # iff compute dtype is bf16 — the
+                                      # approximation's max |Δ| (~3e-4) is
+                                      # below bf16 rounding (ulp ~8e-3 at
+                                      # 1.0), while exact erf is a VPU
+                                      # transcendental over the largest
+                                      # elementwise tensor in the model
+                                      # ([B·S, 4H]) costing a measured 23%
+                                      # of encode throughput (v5e, seq 128,
+                                      # docs/perf_mfu_r3.py). Set False for
+                                      # strict HF parity in fp32 studies.
 
     @staticmethod
     def roberta_base(**kw) -> "EncoderConfig":
@@ -181,8 +185,11 @@ class Mlp(nn.Module):
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         h = nn.Dense(cfg.intermediate_size, kernel_init=init,
                      name="intermediate", dtype=cfg.dtype)(x)
-        # HF BERT/RoBERTa use exact (erf) gelu; tanh approx is a perf knob
-        h = nn.gelu(h, approximate=cfg.gelu_approx)
+        # HF BERT/RoBERTa use exact (erf) gelu; under bf16 the tanh approx
+        # is below rounding noise and 23% faster (see config docstring)
+        approx = (cfg.dtype == jnp.bfloat16) if cfg.gelu_approx is None \
+            else cfg.gelu_approx
+        h = nn.gelu(h, approximate=approx)
         h = nn.Dense(cfg.hidden_size, kernel_init=init, name="output",
                      dtype=cfg.dtype)(h)
         return nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)

@@ -83,7 +83,11 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # Pallas kernels here are Mosaic/TPU-only — any other backend (cpu,
         # gpu) takes the XLA path, which is correct everywhere
         if jax.default_backend() != "tpu" or S < 256:
-            impl = "xla"
+            # bf16 inputs → bf16 softmax: error below bf16 rounding, and
+            # the halved logits traffic is a measured +3.4% encode
+            # throughput at seq 128 (docs/perf_mfu_r3.py); fp32 inputs keep
+            # the reference-parity fp32 softmax
+            impl = "xla_bf16" if q.dtype == jnp.bfloat16 else "xla"
         else:
             impl = "fused" if S <= 1024 else "flash"
     if impl == "flash":

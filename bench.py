@@ -37,8 +37,10 @@ import numpy as np
 BASELINE_PASSAGES_PER_SEC = 4000.0  # 4xV100 fp16 estimate, see docstring
 GFLOP_PER_PASSAGE = 21.8
 SEQ = 128
-BATCH = 256
-STEPS = 10
+# measured batch sweep at the round-3 config (docs/perf_mfu_r3.py, v5e):
+# b128 5646 p/s > b256 5300 > b1024 5190 > b512 5065 — 128 wins
+BATCH = 128
+STEPS = 20
 N_SAMPLES = 5
 
 # bf16 peak matmul throughput by device kind (TF/s)

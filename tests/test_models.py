@@ -309,3 +309,51 @@ def test_fused_qkv_identical_tree_and_outputs():
     o2 = m2.apply({"params": p1}, ids, mask)  # same params, fused compute
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_fast_path_within_bf16_noise():
+    """The bf16 auto defaults (tanh gelu + bf16 softmax, measured +28%
+    encode on v5e) must stay within the noise band bf16 itself introduces:
+    embeddings from the fast bf16 path and the STRICT bf16 path (exact erf
+    gelu + fp32 softmax) must be as close to the fp32 reference as they are
+    to each other."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ance_tpu.models.dot_models import RobertaDot
+    from ance_tpu.models.transformer import EncoderConfig
+
+    kw = dict(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+              intermediate_size=64, max_position_embeddings=40,
+              hidden_dropout=0.0, attention_dropout=0.0)
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(4, 120, (4, 24)), jnp.int32)
+    mask = jnp.ones((4, 24), jnp.int32)
+
+    def emb(cfg):
+        model = RobertaDot(cfg, out_dim=16)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), ids, mask
+                                     )["params"]
+        return np.asarray(
+            model.apply({"params": params}, ids, mask,
+                        method=model.body_emb), np.float32)
+
+    ref = emb(EncoderConfig(dtype=jnp.float32, **kw))  # fp32 exact
+    fast = emb(EncoderConfig(dtype=jnp.bfloat16, **kw))  # bf16 auto (fast)
+    strict = emb(EncoderConfig(dtype=jnp.bfloat16, gelu_approx=False,
+                               attention_impl="xla", **kw))  # bf16 strict
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        return (a * b).sum(1).min()
+
+    assert not np.array_equal(fast, strict)  # the knobs actually engage
+    # fast-vs-ref no worse than ~the strict-vs-ref bf16 floor
+    assert cos(fast, ref) > 0.995
+    assert cos(fast, ref) > cos(strict, ref) - 0.005
+    # fp32 keeps exact HF parity semantics: auto resolves to exact gelu +
+    # fp32 softmax, so an explicit strict config is bit-identical
+    strict_fp32 = emb(EncoderConfig(dtype=jnp.float32, gelu_approx=False,
+                                    attention_impl="xla", **kw))
+    np.testing.assert_array_equal(ref, strict_fp32)
