@@ -8,7 +8,9 @@ alternative (SURVEY.md §7.3 "fused matmul+top-k Pallas kernel"):
   phase 1 (Pallas) — one kernel computes score tiles in VMEM and writes ONLY
       per-``block_size``-row maxima: [Q, N/BS] — a BS× traffic reduction
       (measured sweep on v5e @ 1M×768, Q=512, k=200: BS=16 → 87 ms vs
-      721 ms scan baseline = 8.3×; BS=8 ties, BS=32 123 ms, BS=64 209 ms);
+      721 ms scan baseline = 8.3×; BS=8 ties, BS=32 123 ms, BS=64 209 ms;
+      re-swept r3 at Q=2048 k=10: BS=16 still optimal — 62 ms full /
+      32.8k qps vs scan 8.6k — larger BS only inflates phase 3);
   phase 2 (XLA)    — top-k over block maxima selects candidate blocks;
   phase 3 (XLA)    — gather the k·BS candidate rows per query, re-score
       exactly, final top-k (scanned over query tiles to bound memory).
@@ -17,6 +19,16 @@ EXACTNESS (not an approximation): if entry e were in the true top-k but its
 block not among the top-k blocks by max, then ≥ k blocks would each contain
 an entry scoring above e — contradiction. Hence the union of the top-k blocks
 contains the true top-k entries.
+
+Phase-1 ceiling (r3 measurements, v5e, Q=2048 N=1M D=768 bf16): the fused
+matmul+max runs ~45 ms = 71 TF/s ≈ 36% of bf16 peak, and every cheap lever
+measured FLAT: q_block tiling 256/512/1024 (VMEM pressure was not the
+limiter), chunk_rows 2048 (no change; 4096 crashes the remote compile
+helper), pre-transposed query operand (43.5 vs 44.6 ms), bf16 accumulation
+(Mosaic rejects: MXU acc must be 32-bit). Phase 2+3 cost 13 ms at k=10.
+Whatever bounds phase 1 is inside Mosaic's schedule for the [CHUNK, Q]
+shape, not anything reachable from the kernel body — recorded so the next
+attempt starts past these dead ends.
 """
 
 from __future__ import annotations
@@ -52,9 +64,10 @@ def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "chunk_rows",
-                                             "interpret"))
+                                             "q_block", "interpret"))
 def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
                     block_size: int = 16, chunk_rows: int = 1024,
+                    q_block: int = 0,
                     interpret: bool = False) -> jax.Array:
     """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size].
 
@@ -62,28 +75,39 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
     upstream; padded rows should be zero vectors — their score 0 may only
     matter if real scores are all negative AND padding exists, which
     :func:`topk_blockmax` guards by masking padded blocks).
+
+    ``q_block`` tiles the query axis inside the kernel grid (0 = all
+    queries in one tile). At large Q the [chunk, Q] fp32 score tile is the
+    VMEM high-water (Q=2048 → 8 MB of 16 MB); tiling it restores DMA/MXU
+    double-buffering headroom. The corpus chunk is the grid's inner-most
+    constant, so it is fetched once per chunk regardless of tiling.
     """
     Q, D = queries.shape
     N = corpus.shape[0]
     assert N % chunk_rows == 0 and chunk_rows % block_size == 0
+    if not q_block or q_block >= Q:
+        q_block = Q
+    assert Q % q_block == 0
     n_chunks = N // chunk_rows
+    n_qt = Q // q_block
     blocks_per_chunk = chunk_rows // block_size
 
     kernel = functools.partial(_blockmax_kernel, block_size=block_size)
     bm_t = pl.pallas_call(
         kernel,
-        grid=(n_chunks,),
+        grid=(n_chunks, n_qt),
         in_specs=[
-            pl.BlockSpec((Q, D), lambda ci: (0, 0),
+            pl.BlockSpec((q_block, D), lambda ci, qi: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_rows, D), lambda ci: (ci, 0),
+            pl.BlockSpec((chunk_rows, D), lambda ci, qi: (ci, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((blocks_per_chunk, Q), lambda ci: (ci, 0),
+        out_specs=pl.BlockSpec((blocks_per_chunk, q_block),
+                               lambda ci, qi: (ci, qi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N // block_size, Q), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D,
             bytes_accessed=(Q * D + N * D) * queries.dtype.itemsize +
@@ -95,10 +119,12 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_size", "chunk_rows",
-                                             "q_tile", "interpret"))
+                                             "q_tile", "q_block",
+                                             "interpret"))
 def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
                   block_size: int = 16, chunk_rows: int = 1024,
-                  q_tile: int = 64, interpret: bool = False,
+                  q_tile: int = 64, q_block: int = 0,
+                  interpret: bool = False,
                   valid_rows=None):
     """Exact top-k inner product via the block-max bound.
 
@@ -119,8 +145,10 @@ def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
     # int8 corpora keep fp/bf16 queries (the kernel upcasts the corpus tile)
     qf = queries_p if corpus.dtype == jnp.int8 \
         else queries_p.astype(corpus.dtype)
+    qb = q_block if q_block and padded_q % q_block == 0 else 0
     bm = blockmax_scores(qf, corpus_p, block_size=block_size,
-                         chunk_rows=chunk_rows, interpret=interpret)
+                         chunk_rows=chunk_rows, q_block=qb,
+                         interpret=interpret)
     n_blocks = padded_n // block_size
     block_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_blocks), 1)
     block_valid = block_ids * block_size < valid_rows

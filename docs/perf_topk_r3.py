@@ -46,6 +46,8 @@ def main():
     rs = np.random.RandomState(1)
     corpus = jnp.asarray(rs.randn(N, D), jnp.bfloat16)
     queries = jnp.asarray(rs.randn(Q, D), jnp.float32)
+    padded_n = -(-N // 1024) * 1024  # phase-1-only calls need the padding
+    corpus_p = jnp.pad(corpus, ((0, padded_n - N), (0, 0)))
 
     ref_s, ref_i = topk_inner_product(queries, corpus, k=K)
     ref_i = np.asarray(ref_i)
@@ -56,7 +58,7 @@ def main():
 
     for bs in (16, 32, 64, 128):
         t1, *_ = bench(blockmax_scores, queries.astype(jnp.bfloat16),
-                       corpus, block_size=bs)
+                       corpus_p, block_size=bs)
         t2, lo2, hi2 = bench(topk_blockmax, queries, corpus, k=K,
                              block_size=bs)
         _, ids = topk_blockmax(queries, corpus, k=K, block_size=bs)
@@ -69,6 +71,25 @@ def main():
                           "phase23_sec": round(t2 - t1, 4),
                           "qps": round(Q / t2, 1),
                           "ids_agree_vs_scan": agree}), flush=True)
+
+    # q_block x chunk_rows sweep at the winning BS: the [chunk, q_block]
+    # fp32 score tile is the phase-1 VMEM high-water
+    for qb in (256, 512, 1024):
+        for cr in (1024, 2048, 4096):
+            try:
+                t1, lo1, hi1 = bench(
+                    blockmax_scores, queries.astype(jnp.bfloat16),
+                    corpus_p if padded_n % cr == 0 else
+                    jnp.pad(corpus, ((0, -(-N // cr) * cr - N), (0, 0))),
+                    block_size=16, chunk_rows=cr, q_block=qb)
+            except Exception as e:
+                print(json.dumps({"variant": f"p1_qb{qb}_cr{cr}",
+                                  "error": str(e)[:120]}), flush=True)
+                continue
+            print(json.dumps({"variant": f"p1_qb{qb}_cr{cr}",
+                              "phase1_sec": round(t1, 4),
+                              "spread": [round(lo1, 4), round(hi1, 4)]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
