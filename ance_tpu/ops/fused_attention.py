@@ -14,8 +14,12 @@ trailing dims are the Mosaic-friendly (S, D); the padding bias is
 precomputed per row OUTSIDE the kernel ([B·H, S], tiny) because Mosaic
 cannot gather dynamic rows from values.
 
-Backward: recompute via the XLA path (same strategy as flash_attention) —
-correct, memory-lean, and the encoder backward is MLP-dominated.
+Backward: a second fused Pallas kernel (round 3): recompute scores +
+softmax in VMEM, softmax-VJP, and the four gradient matmuls (dv = pᵀdo,
+dp = do vᵀ, dq = ds k, dk = dsᵀq) batched per row group — the [S, S]
+probability/gradient matrices never touch HBM either, and nothing is saved
+from the forward but q/k/v/mask (flash-style memory profile). Set
+``ANCE_FUSED_XLA_BWD=1`` to fall back to XLA-recompute backward.
 
 Parity: identical math to ops.attention.xla_attention — bf16 QKᵀ with fp32
 accumulation, fp32 softmax, bf16 probabilities into PV.
@@ -90,21 +94,99 @@ def _fused_forward(q, k, v, attention_mask, *, interpret: bool = False):
     return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
 
 
+def _fused_bwd_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Gradients for one row group, entirely in VMEM.
+
+    Recomputes s → p (fp32, identical to the forward), then
+      dv = pᵀ · do                         (bf16 p, like the forward's PV)
+      dp = do · vᵀ
+      ds = p ⊙ (dp − rowsum(dp ⊙ p))       (softmax VJP, fp32)
+      dq = (ds·scale) · k,  dk = (ds·scale)ᵀ · q
+    ds is cast to the input dtype for the MXU gradient matmuls (the only
+    deviation from the XLA-recompute backward, within bf16 noise — guarded
+    by test_fused_attention.py tolerances)."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[...]
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)          # fp32 [G, Sq, Sk]
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+    dsb = (ds * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dsb, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_group_tile(rows: int, seq: int, head_dim: int) -> int:
+    """Row group for the backward kernel: 8 [G, S, D] blocks (5 in + 3 out,
+    double-buffered) plus ~4 live [G, S, S] fp32 temporaries."""
+    budget = 10 * 1024 * 1024
+    for g in (32, 16, 8, 4, 2, 1):
+        if rows % g:
+            continue
+        if 16 * g * seq * head_dim * 2 + 4 * g * seq * seq * 4 <= budget:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_backward(q, k, v, attention_mask, do, *, interpret: bool = False):
+    B, S, H, D = q.shape
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    qf, kf, vf, dof = fold(q), fold(k), fold(v), fold(do)
+    bias = jnp.repeat((1.0 - attention_mask.astype(jnp.float32)) * NEG_INF,
+                      H, axis=0)[:, None, :]
+    g = _bwd_group_tile(B * H, S, D)
+    spec = pl.BlockSpec((g, S, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((g, 1, S), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B * H, S, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=1.0 / (D ** 0.5)),
+        out_shape=(shape, shape, shape),
+        grid=(B * H // g,),
+        in_specs=[bias_spec, spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(bias, qf, kf, vf, dof)
+    unfold = lambda x: x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
 def _fwd(q, k, v, attention_mask):
     return _fused_forward(q, k, v, attention_mask), (q, k, v, attention_mask)
 
 
 def _bwd(res, g):
-    """Recompute through the XLA path (numerically equivalent attention);
-    the encoder backward is dominated by the MLP GEMMs."""
     q, k, v, attention_mask = res
-    bias = mask_to_bias(attention_mask)
+    import os
+    if os.environ.get("ANCE_FUSED_XLA_BWD"):
+        # XLA-recompute fallback (the pre-round-3 behavior)
+        bias = mask_to_bias(attention_mask)
 
-    def ref(q, k, v):
-        return xla_attention(q, k, v, bias)
+        def ref(q, k, v):
+            return xla_attention(q, k, v, bias)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    dq, dk, dv = _fused_backward(q, k, v, attention_mask, g)
     return dq, dk, dv, None
 
 
