@@ -252,20 +252,11 @@ def cmd_warmup(args):
     # resume: restore the newest complete checkpoint and skip its steps —
     # a preempted 60K-step warmup must not restart from zero (reference
     # run_warmup.py:144-163 step-skipping resume)
-    start_step = 0
     from ance_tpu.train import checkpoint as ckpt
-    path, ckpt_step = ckpt.get_latest_checkpoint(args.output_dir or "")
-    if path and ckpt.is_complete(path):
-        import jax.numpy as jnp
-        from ance_tpu.train.trainer import TrainState
-        params, opt_state, _meta = ckpt.load_checkpoint(
-            path, state.params, state.opt_state)
-        state = TrainState(step=jnp.asarray(ckpt_step, jnp.int32),
-                           params=params,
-                           opt_state=opt_state if opt_state is not None
-                           else state.opt_state)
-        start_step = ckpt_step
-        logger.info("warmup resume from %s (step %s)", path, ckpt_step)
+    state, start_step, _meta = ckpt.resume_train_state(args.output_dir,
+                                                       state)
+    if start_step:
+        logger.info("warmup resume from step %s", start_step)
 
     state, history = run_warmup(cfg, state=state, train_step=step,
                                 tokenizer=tokenizer,
@@ -453,6 +444,11 @@ def cmd_seed_pretrain(args):
                                  jnp.ones((2, L), jnp.int32), shape)["params"]
     state = init_train_state(params, opt)
     mesh = make_mesh() if args.data_parallel else None
+    if num_hosts > 1 and mesh is None:
+        # without a mesh the train step has no collectives — each host
+        # would silently train an independent diverging replica
+        raise SystemExit("multi-host seed-pretrain requires data "
+                         "parallelism (drop --no_data_parallel)")
     ratio = tuple(float(x) for x in args.train_ratio.split(":"))
     step = make_seed_pretrain_step(model, opt, train_ratio=ratio, mesh=mesh)
     batch_transform = None

@@ -122,17 +122,25 @@ class AsyncCheckpointer:
     the reference's rank-0 save fence, run_warmup.py:222-244).
 
     Falls back to synchronous :func:`save_checkpoint` when orbax is
-    unavailable. The DONE marker is written by a completion callback so the
-    completeness protocol is identical in both modes.
+    unavailable, AND in multi-process runs: orbax's save/wait_until_finished
+    issue sync_global_processes barriers that every process must join, but
+    the rank-0-only save convention (reference run_ann.py:307-334) calls
+    them on process 0 alone — process 0 would hang at the first barrier.
+    The sync msgpack path has no collectives (params/opt_state are
+    replicated, so rank 0's device_get sees the full arrays), so rank-0-only
+    stays correct. The DONE marker is written by a completion callback so
+    the completeness protocol is identical in both modes.
     """
 
     def __init__(self, directory: str):
         self.directory = directory
+        self._ckptr = None
         try:
             import orbax.checkpoint as ocp
-            self._ckptr = ocp.AsyncCheckpointer(
-                ocp.StandardCheckpointHandler())
-            self._ocp = ocp
+            if jax.process_count() == 1:
+                self._ckptr = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler())
+                self._ocp = ocp
         except Exception:
             self._ckptr = None
 
@@ -177,6 +185,29 @@ class AsyncCheckpointer:
         # load_checkpoint dispatches on layout (msgpack / orbax state/ /
         # legacy orbax params/)
         return load_checkpoint(ckpt_dir, params_template)[0]
+
+
+def resume_train_state(training_dir: str, state):
+    """Restore the newest COMPLETE checkpoint into a TrainState.
+
+    Shared by warmup resume (cli.cmd_warmup) and the pipelined loop
+    (PipelinedAnce.resume) so checkpoint-layout changes are reasoned
+    through once. Returns ``(state, step, meta)`` — ``(state, 0, {})``
+    unchanged when nothing complete exists. Multi-host note: assumes a
+    shared filesystem (rank 0 writes, every rank reads — the reference's
+    convention too, run_ann.py:307-334); on disjoint filesystems only
+    rank 0 would find the checkpoint and ranks would diverge."""
+    import jax.numpy as jnp
+    from ance_tpu.train.trainer import TrainState
+    path, step = get_latest_checkpoint(training_dir or "")
+    if path is None or not is_complete(path):
+        return state, 0, {}
+    params, opt_state, meta = load_checkpoint(
+        path, state.params, getattr(state, "opt_state", None))
+    new_state = TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                           opt_state=opt_state if opt_state is not None
+                           else state.opt_state)
+    return new_state, step, (meta or {})
 
 
 def get_latest_checkpoint(training_dir: str,

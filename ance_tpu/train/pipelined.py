@@ -345,20 +345,12 @@ class PipelinedAnce:
         into the training state (params + opt state + step + refresh
         rotation). Returns the resumed step (0 = nothing to resume)."""
         from ance_tpu.train import checkpoint as ckpt
-        from ance_tpu.train.trainer import TrainState
-        import jax.numpy as jnp
 
-        path, step = ckpt.get_latest_checkpoint(self.cfg.checkpoint_dir)
-        if path is None or not ckpt.is_complete(path):
+        self.state, step, meta = ckpt.resume_train_state(
+            self.cfg.checkpoint_dir, self.state)
+        if step == 0:
             return 0
-        params, opt_state, meta = ckpt.load_checkpoint(
-            path, self.params_of(self.state),
-            getattr(self.state, "opt_state", None))
-        self.state = TrainState(
-            step=jnp.asarray(step, jnp.int32), params=params,
-            opt_state=opt_state if opt_state is not None
-            else self.state.opt_state)
-        self.refresh_no = int((meta or {}).get("refresh_no", 0))
+        self.refresh_no = int(meta.get("refresh_no", 0))
         # regenerate the in-flight cycle from the restored params
         self.snapshot = self._snapshot_params()
         self._work.clear()

@@ -72,12 +72,21 @@ def seed_pretrain_batches(cache: TokenCache, batch_size: int, *,
     stream — ``prev_tokens`` = row shifted right (starts at CLS, the
     fairseq shifted-target convention), ``dec_targets`` = tokens 1..l−1,
     masked to real positions. Dynamic masking: the mask redraws per
-    (seed, epoch), RoBERTa-style. Hosts stripe records round-robin."""
-    rs = np.random.RandomState(seed + 7919 * epoch + host_id)
+    (seed, epoch), RoBERTa-style. Hosts stripe records round-robin.
+
+    Multi-host contract: the shuffle is seeded host-INDEPENDENTLY so every
+    host stripes the same global permutation (per-host seeds would draw
+    stripes from different orderings — some records never seen, others
+    double-weighted); only the masking RNG differs per host. Stripes are
+    truncated to ``n // num_hosts`` records so every host yields the same
+    number of batches — a one-record imbalance would deadlock the sharded
+    train step's collectives at the epoch tail."""
+    shuffle_rs = np.random.RandomState(seed + 7919 * epoch)
+    rs = np.random.RandomState(seed + 7919 * epoch + 104729 * host_id)
     n = len(cache)
     order = np.arange(n)
-    rs.shuffle(order)
-    order = order[host_id::num_hosts]
+    shuffle_rs.shuffle(order)
+    order = order[host_id::num_hosts][:n // num_hosts]
     L = cache.embedding_size
     for s in range(0, len(order) - batch_size + 1, batch_size):
         keys = order[s:s + batch_size]

@@ -45,6 +45,11 @@ def run_warmup(cfg: WarmupConfig, *, state, train_step: Callable,
     (state, history) where history holds loss and eval entries."""
     history = []
     global_step = start_step
+    if 0 < cfg.max_steps <= start_step:
+        # resuming a checkpoint written exactly at max_steps: the run is
+        # already complete — training even one more batch would mutate the
+        # finished model vs the uninterrupted run
+        return state, history
     skip = start_step  # resume: skip already-trained batches (ref :144-163)
     for epoch in range(cfg.num_epochs):
         with open(triples_path, encoding="utf-8") as f:

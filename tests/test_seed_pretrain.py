@@ -64,6 +64,33 @@ def test_masking_is_dynamic_across_epochs(tmp_path):
                                   b0["dec_targets"][:, :-1])
 
 
+def test_multihost_striping_partitions_one_permutation(tmp_path):
+    """Hosts must stripe the SAME global shuffle (host-independent seed) and
+    yield identical batch counts — per-host orderings would skip ~1/4 of the
+    corpus per epoch, and a one-record imbalance would deadlock the sharded
+    step's collectives at the epoch tail."""
+    from ance_tpu.data.cache import TokenCacheWriter, TokenCache
+    from ance_tpu.train.seed_pretrain import seed_pretrain_batches
+    rs = np.random.RandomState(2)
+    n = 19  # deliberately not divisible by num_hosts or batch_size
+    with TokenCacheWriter(str(tmp_path / "c"), 8) as w:
+        for _ in range(n):
+            w.write(8, rs.randint(5, 60, 8).astype(np.int32))
+    kw = dict(mask_token_id=4, vocab_size=60, special_ids=[0, 1, 2, 3, 4],
+              seed=7, epoch=3)
+    with TokenCache(str(tmp_path / "c")) as cache:
+        per_host = [list(seed_pretrain_batches(cache, 3, host_id=h,
+                                               num_hosts=2, **kw))
+                    for h in range(2)]
+    # equal batch counts (collective-deadlock guard)
+    assert len(per_host[0]) == len(per_host[1]) == (n // 2) // 3
+    # the union of rows the two hosts saw has no overlap: stripes of one
+    # permutation are disjoint (row identity via the unmasked targets)
+    rows = [b["mlm_targets"][i].tobytes()
+            for bs in per_host for b in bs for i in range(3)]
+    assert len(set(rows)) == len(rows)
+
+
 TINY = json.dumps({"num_layers": 2, "hidden_size": 32, "num_heads": 4,
                    "intermediate_size": 64, "max_position_embeddings": 40})
 

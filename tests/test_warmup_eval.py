@@ -186,3 +186,17 @@ def test_passage_dist_eval_end_to_end(tmp_path):
     assert full == pytest.approx(1.0)
     # rerank: only qid 100's candidates contain its positive
     assert rerank == pytest.approx(0.5)
+
+
+def test_run_warmup_resume_at_max_steps_is_noop(tmp_path):
+    """Resuming a checkpoint written exactly at max_steps must not train an
+    extra step (the post-step max_steps check alone would run one batch
+    before firing, mutating the finished model)."""
+    cfg = WarmupConfig(max_steps=7, checkpoint_dir=str(tmp_path))
+    sentinel = object()
+    state, history = run_warmup(
+        cfg, state=sentinel, train_step=None, tokenizer=None,
+        triples_path=str(tmp_path / "missing.tsv"), rng=None, start_step=7)
+    assert state is sentinel and history == []
+    # and no final checkpoint overwrote the existing one
+    assert not list(tmp_path.iterdir())
