@@ -56,8 +56,14 @@ def iter_cache_batches(cache: TokenCache, batch_size: int,
 
 
 def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
-                   data_axis: str = "data") -> Callable:
-    """Jitted (params, ids, mask) → embeddings; batch sharded over the mesh."""
+                   data_axis: str = "data",
+                   param_shardings=None) -> Callable:
+    """Jitted (params, ids, mask) → embeddings; batch sharded over the mesh.
+
+    ``param_shardings``: optional NamedSharding pytree for the params —
+    pass core.tp.encoder_param_shardings(...) to run the encode
+    tensor-parallel over a 2-D (data, model) mesh (params stay replicated
+    when omitted, the reference's DDP-style layout)."""
     def encode(params, ids, mask):
         return model.apply({"params": params}, ids, mask, method=method)
 
@@ -65,7 +71,8 @@ def make_encode_fn(model, method, mesh: Optional[Mesh] = None,
         return jax.jit(encode)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))
-    return jax.jit(encode, in_shardings=(repl, data, data),
+    p_in = param_shardings if param_shardings is not None else repl
+    return jax.jit(encode, in_shardings=(p_in, data, data),
                    out_shardings=repl)
 
 
