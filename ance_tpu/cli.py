@@ -115,20 +115,40 @@ def _torch_ckpt_file(model_dir: str) -> bool:
     return any(f.endswith((".bin", ".pt")) for f in os.listdir(model_dir))
 
 
-def _eval_mesh(batch_size: int):
-    """Data-parallel mesh for generator/inference encode paths (the
-    reference's StreamingDataset rank striping, util.py:318-329). None on a
-    single device, or when the batch can't split evenly over devices."""
+def _eval_mesh(batch_size: int, tensor_parallel: int = 1):
+    """Mesh for generator/inference encode paths (the reference's
+    StreamingDataset rank striping, util.py:318-329). None on a single
+    device, or when the batch can't split evenly over the data axis.
+    With ``tensor_parallel > 1`` the mesh is 2-D (data, model) and the
+    encoder weights shard Megatron-style (core/tp.py)."""
     import jax
     from ance_tpu.core.mesh import make_mesh
     n = jax.device_count()
     if n <= 1:
         return None
-    if batch_size % n:
-        logger.warning("eval batch %d not divisible by %d devices; "
-                       "encode runs single-device", batch_size, n)
+    tp = max(1, tensor_parallel)
+    if n % tp:
+        raise SystemExit(f"--tensor_parallel {tp} does not divide "
+                         f"{n} devices")
+    dp = n // tp
+    if batch_size % dp:
+        logger.warning("eval batch %d not divisible by %d data-parallel "
+                       "devices; encode runs single-device", batch_size, dp)
         return None
+    if tp > 1:
+        from ance_tpu.core.tp import make_mesh_2d
+        return make_mesh_2d(model=tp, data=dp)
     return make_mesh()
+
+
+def _encode_shardings(args, model, params, mesh):
+    """TP param-sharding tree for make_encode_fn, or None (replicated)."""
+    tp = getattr(args, "tensor_parallel", 1)
+    if mesh is None or tp <= 1:
+        return None
+    from ance_tpu.core.tp import encoder_param_shardings, validate_tp
+    validate_tp(model.config, mesh)
+    return encoder_param_shardings(params, mesh)
 
 
 def _warm_start_params(spec, params, model_dir):
@@ -488,11 +508,15 @@ def cmd_generate(args, inference_only=False):
     params, ckpt_path, step = _load_latest_params(
         params, args.training_dir, args.init_model_dir)
 
-    mesh = _eval_mesh(args.per_device_eval_batch_size)
-    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
+    mesh = _eval_mesh(args.per_device_eval_batch_size,
+                      args.tensor_parallel)
+    pshard = _encode_shardings(args, model, params, mesh)
+    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh,
+                         param_shardings=pshard)
     body_method = type(model).body_emb_multichunk if spec.multichunk \
         else type(model).body_emb
-    bfn = make_encode_fn(model, body_method, mesh=mesh)
+    bfn = make_encode_fn(model, body_method, mesh=mesh,
+                         param_shardings=pshard)
     gen_cfg = AnnGenConfig(topk_training=args.topk_training,
                            negative_sample=args.negative_sample,
                            ann_chunk_factor=args.ann_chunk_factor,
@@ -565,9 +589,13 @@ def cmd_generate_dpr(args):
         _qas_answers(args.test_qas)
     trivia_answers = _qas_answers(args.trivia_qas)
 
-    mesh = _eval_mesh(args.per_device_eval_batch_size)
-    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh)
-    bfn = make_encode_fn(model, type(model).body_emb, mesh=mesh)
+    mesh = _eval_mesh(args.per_device_eval_batch_size,
+                      args.tensor_parallel)
+    pshard = _encode_shardings(args, model, params, mesh)
+    qfn = make_encode_fn(model, type(model).query_emb, mesh=mesh,
+                         param_shardings=pshard)
+    bfn = make_encode_fn(model, type(model).body_emb, mesh=mesh,
+                         param_shardings=pshard)
     with TokenCache(args.data_dir + "/train-query") as tq, \
             TokenCache(args.data_dir + "/test-query") as te, \
             TokenCache(args.data_dir + "/trivia-test-query") as tr, \
@@ -1016,6 +1044,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--ann_chunk_factor", type=int, default=5)
         p.add_argument("--ann_measure_topk_mrr", action="store_true")
         p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+        p.add_argument("--tensor_parallel", type=int, default=1,
+                       help="shard the encoder weights Megatron-style over "
+                            "this many devices (core/tp.py); requires "
+                            "--attention xla and divisible head counts")
         p.set_defaults(fn=lambda a, inf=inference: cmd_generate(a, inf))
 
     p = sub.add_parser("generate-dpr",
@@ -1032,6 +1064,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk_training", type=int, default=100)
     p.add_argument("--negative_sample", type=int, default=20)
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard the encoder weights Megatron-style over "
+                        "this many devices (core/tp.py)")
     p.set_defaults(fn=cmd_generate_dpr)
 
     p = sub.add_parser("serve",

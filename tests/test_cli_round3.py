@@ -109,7 +109,7 @@ def test_generate_meshed_matches_single_device(tmp_path, capsys, monkeypatch):
     meshed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     import ance_tpu.cli as cli
-    monkeypatch.setattr(cli, "_eval_mesh", lambda batch: None)
+    monkeypatch.setattr(cli, "_eval_mesh", lambda batch, tp=1: None)
     main(_gen_args(tmp_path, data, tmp_path / "ann_single", 16))
     single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
@@ -154,6 +154,48 @@ def test_generate_meshed_matches_single_device(tmp_path, capsys, monkeypatch):
         qid_s, _pos, negs_s = line.split("\t")
         negs = set(int(x) for x in negs_s.split(","))
         assert negs <= topsets[int(qid_s)], (line, topsets[int(qid_s)])
+
+
+def test_generate_tensor_parallel_matches_single_device(tmp_path, capsys,
+                                                        monkeypatch):
+    """--tensor_parallel 4 generate (dp2 x tp4 encoder weights sharded
+    Megatron-style, core/tp.py) reaches the same dev_ndcg and draws every
+    negative from the true top-k, like the pure-DP meshed test above."""
+    raw = _write_raw_unique(tmp_path)
+    data = str(tmp_path / "data")
+    base = ["--model_type", "seeddot_nll",
+            "--model_name_or_path", str(tmp_path),
+            "--max_seq_length", "16", "--max_query_length", "8"]
+    main(["preprocess", *base, "--data_dir", str(raw),
+          "--out_data_dir", data, "--data_type", "1", "--num_processes", "2"])
+    capsys.readouterr()
+
+    import jax
+    assert jax.device_count() == 8
+    # TINY has 4 heads / intermediate 64 — tp=4 splits both; Pallas kernels
+    # are opaque to the partitioner so TP requires explicit xla attention
+    tp_args = _gen_args(tmp_path, data, tmp_path / "ann_tp", 16) + \
+        ["--tensor_parallel", "4", "--attention", "xla"]
+    main(tp_args)
+    tp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    import ance_tpu.cli as cli
+    monkeypatch.setattr(cli, "_eval_mesh", lambda batch, tp=1: None)
+    main(_gen_args(tmp_path, data, tmp_path / "ann_single2", 16) +
+         ["--attention", "xla"])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # TP's per-layer all-reduce reorders fp32 sums (~1e-5 embedding noise —
+    # vs ~1e-6 for pure-DP fusion differences), which flips near-tie ranks
+    # in this tiny random-init model; exact TP-vs-replicated identity at
+    # fixed shapes is test_tp.py's job, this test checks the CLI plumbing
+    assert tp["dev_ndcg"] == pytest.approx(single["dev_ndcg"], abs=2e-2)
+    with open(tp["data_path"]) as f_t, open(single["data_path"]) as f_s:
+        lines_t = f_t.read().splitlines()
+        lines_s = f_s.read().splitlines()
+    assert len(lines_t) == len(lines_s) > 0
+    for lt, ls in zip(lines_t, lines_s):
+        assert lt.split("\t")[:2] == ls.split("\t")[:2]
 
 
 def test_eval_full_rerank_cli_matches_library(tmp_path, capsys):
