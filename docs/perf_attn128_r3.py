@@ -47,7 +47,7 @@ def _kernel128(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
-    bias = bias_ref[...][:, None, :]          # [G, 1, Sk]
+    bias = bias_ref[...]                      # [G, 1, Sk] broadcasts over q
     D = q.shape[-1] // heads
     for h in range(heads):
         sl = slice(h * D, (h + 1) * D)
@@ -66,10 +66,13 @@ def _kernel128(bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
 @functools.partial(jax.jit, static_argnames=("group",))
 def fused128(q, k, v, mask, group: int = 4):
     """q/k/v: [B, S, H] (projection layout), mask: [B, S] -> [B, S, H]."""
-    bias = ((1.0 - mask.astype(jnp.float32)) * NEG_INF)
+    # [B, 1, S]: the singleton middle dim keeps the block's trailing dims
+    # legal for any group size (Mosaic requires last-two dims (8,128)-
+    # divisible OR equal to the full array dims)
+    bias = ((1.0 - mask.astype(jnp.float32)) * NEG_INF)[:, None, :]
     spec = pl.BlockSpec((group, S, H), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((group, S), lambda i: (i, 0),
+    bias_spec = pl.BlockSpec((group, 1, S), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel128, scale=1.0 / (DH ** 0.5), heads=HEADS),
@@ -78,6 +81,63 @@ def fused128(q, k, v, mask, group: int = 4):
         in_specs=[bias_spec, spec, spec, spec],
         out_specs=spec,
     )(bias, q, k, v)
+
+
+# ---------------- fused attention BLOCK (projections + attention) --------
+
+def _block_kernel(bias_ref, x_ref, wq_ref, wk_ref, wv_ref, wo_ref, o_ref,
+                  *, scale, heads):
+    """Whole attention sub-block in VMEM: q/k/v/ctx never touch HBM.
+    x/o: [G, S, H]; weights [H, H] (constant blocks — fetched once);
+    bias [G, 1, S]."""
+    G, S_, H_ = x_ref.shape
+    x2 = x_ref[...].reshape(G * S_, H_)
+    dt = x_ref.dtype
+
+    def dot32(a, b):      # Mosaic requires a 32-bit matmul accumulator
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32
+                           ).astype(dt)
+
+    q = dot32(x2, wq_ref[...]).reshape(G, S_, H_)
+    k = dot32(x2, wk_ref[...]).reshape(G, S_, H_)
+    v = dot32(x2, wv_ref[...]).reshape(G, S_, H_)
+    bias = bias_ref[...]
+    D = H_ // heads
+    parts = []          # .at[].set lowers to scatter (unsupported on TPU)
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(q[..., sl], k[..., sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=2, keepdims=True)).astype(x_ref.dtype)
+        c = jax.lax.dot_general(p, v[..., sl], (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        parts.append(c.astype(x_ref.dtype))
+    ctx = jnp.concatenate(parts, axis=-1)
+    out = dot32(ctx.reshape(G * S_, H_), wo_ref[...])
+    o_ref[...] = out.reshape(G, S_, H_).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def fused_block(x, wq, wk, wv, wo, mask, group: int = 2):
+    bias = ((1.0 - mask.astype(jnp.float32)) * NEG_INF)[:, None, :]
+    xspec = pl.BlockSpec((group, S, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((group, 1, S), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, scale=1.0 / (DH ** 0.5),
+                          heads=HEADS),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), x.dtype),
+        grid=(B // group,),
+        in_specs=[bias_spec, xspec, wspec, wspec, wspec, wspec],
+        out_specs=xspec,
+    )(bias, x, wq, wk, wv, wo)
 
 
 # ---------------- mirror encoder ----------------
@@ -111,6 +171,15 @@ def encoder(params, ids, mask, *, attn: str, group: int = 4):
     bias = jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF
                      ).astype(jnp.float32)
     for lp in params["layers"]:
+        if attn == "block":
+            attn_out = fused_block(x, lp["q"], lp["k"], lp["v"], lp["o"],
+                                   mask, group=group)
+            x = layer_norm(x + attn_out, lp["ln1"])
+            h = x.reshape(B * S, H) @ lp["up"]
+            h = jax.nn.gelu(h, approximate=True)
+            h = (h @ lp["down"]).reshape(B, S, H)
+            x = layer_norm(x + h, lp["ln2"])
+            continue
         qf = (x.reshape(B * S, H) @ lp["q"]).reshape(B, S, H)
         kf = (x.reshape(B * S, H) @ lp["k"]).reshape(B, S, H)
         vf = (x.reshape(B * S, H) @ lp["v"]).reshape(B, S, H)
@@ -176,12 +245,30 @@ def main():
     print(json.dumps({"max_abs_err_vs_fp32_ref": round(err, 5)}), flush=True)
     assert err < 0.05, "kernel math diverges"
 
+    # correctness of the whole fused block vs the unfused bf16 math
+    lp = params["layers"][0]
+    xin = jnp.asarray(rs.randn(B, S, H) * 0.3, jnp.bfloat16)
+    qf = (xin.reshape(B * S, H) @ lp["q"]).reshape(B, S, H)
+    kf = (xin.reshape(B * S, H) @ lp["k"]).reshape(B, S, H)
+    vf = (xin.reshape(B * S, H) @ lp["v"]).reshape(B, S, H)
+    ctx = fused128(qf, kf, vf, mask)
+    ref_blk = (ctx.reshape(B * S, H) @ lp["o"]).reshape(B, S, H
+               ).astype(jnp.float32)
+    got_blk = fused_block(xin, lp["q"], lp["k"], lp["v"], lp["o"], mask
+                          ).astype(jnp.float32)
+    berr = float(jnp.max(jnp.abs(got_blk - ref_blk)))
+    print(json.dumps({"block_max_abs_err_vs_unfused": round(berr, 5)}),
+          flush=True)
+
     results = {}
     for name, kw in (("xla", {"attn": "xla"}),
                      ("fold", {"attn": "fold"}),
                      ("fused128_g2", {"attn": "fused128", "group": 2}),
                      ("fused128_g4", {"attn": "fused128", "group": 4}),
-                     ("fused128_g8", {"attn": "fused128", "group": 8})):
+                     ("fused128_g8", {"attn": "fused128", "group": 8}),
+                     ("block_g1", {"attn": "block", "group": 1}),
+                     ("block_g2", {"attn": "block", "group": 2}),
+                     ("block_g4", {"attn": "block", "group": 4})):
         try:
             results[name] = round(timed(
                 functools.partial(encoder, **kw), params, ids, mask), 3)
