@@ -68,9 +68,18 @@ def init_train_state(params, optimizer) -> TrainState:
                       opt_state=optimizer.init(params))
 
 
-def triplet_loss_fn(model, multichunk: bool = False) -> Callable:
+def triplet_loss_fn(model, multichunk: bool = False,
+                    fused_body: bool = False) -> Callable:
     """loss(params, batch, dropout_rng) for FirstP (NLL) or MaxP
-    (NLL_MultiChunk) training."""
+    (NLL_MultiChunk) training.
+
+    ``fused_body=True`` encodes positives and negatives (identical shapes)
+    as ONE [2B, S] pass instead of two [B, S] passes: every encoder op is
+    row-independent, so the result is exactly equal in deterministic mode
+    (test_train.py asserts it) and the per-element dropout masks stay iid —
+    the same distribution the reference's separate forwards draw
+    (run_ann.py:240-261). The win is GEMM width: [2B·S, H] matmuls where
+    the batch knee hasn't saturated the MXU yet."""
 
     def loss_fn(params, batch, dropout_rng):
         # one subkey per encoder pass: pos and neg share shapes, so a shared
@@ -82,12 +91,21 @@ def triplet_loss_fn(model, multichunk: bool = False) -> Callable:
                         rngs={"dropout": q_rng}, method=model.query_emb)
         body_method = model.body_emb_multichunk if multichunk \
             else model.body_emb
-        pos = model.apply({"params": params}, batch["pos_ids"],
-                          batch["pos_mask"], deterministic=False,
-                          rngs={"dropout": pos_rng}, method=body_method)
-        neg = model.apply({"params": params}, batch["neg_ids"],
-                          batch["neg_mask"], deterministic=False,
-                          rngs={"dropout": neg_rng}, method=body_method)
+        if fused_body:
+            B = batch["pos_ids"].shape[0]
+            ids = jnp.concatenate([batch["pos_ids"], batch["neg_ids"]], 0)
+            msk = jnp.concatenate([batch["pos_mask"], batch["neg_mask"]], 0)
+            both = model.apply({"params": params}, ids, msk,
+                               deterministic=False, rngs={"dropout": pos_rng},
+                               method=body_method)
+            pos, neg = both[:B], both[B:]
+        else:
+            pos = model.apply({"params": params}, batch["pos_ids"],
+                              batch["pos_mask"], deterministic=False,
+                              rngs={"dropout": pos_rng}, method=body_method)
+            neg = model.apply({"params": params}, batch["neg_ids"],
+                              batch["neg_mask"], deterministic=False,
+                              rngs={"dropout": neg_rng}, method=body_method)
         if multichunk:
             return losses.nll_multichunk_loss(q, pos, batch["pos_mask"],
                                               neg, batch["neg_mask"])

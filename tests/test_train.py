@@ -136,6 +136,35 @@ def test_grad_accum_matches_full_batch(tmp_path):
                                    rtol=5e-4, atol=5e-6)
 
 
+def test_fused_body_matches_three_pass(tmp_path):
+    """fused pos+neg body pass (one [2B, S] encode) equals the reference's
+    separate passes exactly when dropout is off — every encoder op is
+    row-independent. Covers FirstP and MaxP multichunk."""
+    qbase, pbase = _write_caches(tmp_path)
+    model = _tiny_model(dropout=0.0)
+    qc, pc = TokenCache(qbase).open(), TokenCache(pbase).open()
+    lines = [f"{i}\t{i}\t{(i + 7) % 64}" for i in range(8)]
+    batch = next(TripletBatches(qc, pc, expand_triples(lines), batch_size=8,
+                                seed=3).epoch(0))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, QLEN), jnp.int32), jnp.ones((2, QLEN), jnp.int32)
+    )["params"]
+    rng = jax.random.PRNGKey(5)
+    for multichunk in (False, True):
+        sep = triplet_loss_fn(model, multichunk=multichunk)
+        fus = triplet_loss_fn(model, multichunk=multichunk, fused_body=True)
+        l1, g1 = jax.value_and_grad(sep)(params, batch, rng)
+        l2, g2 = jax.value_and_grad(fus)(params, batch, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        # grads agree to fp32 summation order (XLA tiles the [2B, S] GEMMs
+        # differently than the [B, S] ones)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+    qc.close(), pc.close()
+
+
 @pytest.mark.slow
 def test_mesh_sharded_step_matches_single(tmp_path):
     mesh = make_mesh(8)
