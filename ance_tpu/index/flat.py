@@ -214,46 +214,74 @@ class FlatIPIndex:
         self._slice_rows = None
 
     # -- in-place slice refresh (the pipelined loop's in-HBM segment swap) --
-    def allocate(self, ntotal: int, dim: int, slice_rows: int) -> None:
+    def allocate(self, ntotal: int, dim: int, slice_rows: int,
+                 scales=None) -> None:
         """Allocate a zeroed device-resident buffer that accepts in-place
         ``update_slice`` writes (replaces the reference's host-side
         rebuild-and-re-add, run_ann_data_gen.py:265-272).
 
         Rows are padded so every ``slice_rows``-aligned slice lies entirely
         within one shard (``rows_per_shard % slice_rows == 0``); padding rows
-        never surface (scored −inf via ``ntotal`` masking)."""
-        if self.quantize:
-            raise ValueError("update_slice requires an unquantized index "
-                             "(quantization scales are corpus-global)")
+        never surface (scored −inf via ``ntotal`` masking).
+
+        ``quantize='dims'`` indexes allocate an int8 buffer — half the HBM of
+        bf16, which is what fits the full 8.8M-passage MS MARCO corpus on ONE
+        v5e core — and require corpus-global per-dim ``scales`` [dim] up
+        front (LayerNorm'd encoder embeddings have stable per-dim ranges, so
+        a scale snapshot survives refreshes); each ``update_slice`` quantizes
+        its slice on device against those scales."""
+        if self.quantize == "rows":
+            raise ValueError("update_slice supports quantize='dims' only "
+                             "(per-row scales can't fold into the query, and "
+                             "the scan path reads them corpus-global)")
+        if self.quantize == "dims":
+            if scales is None:
+                raise ValueError("quantize='dims' allocate() needs per-dim "
+                                 "scales [dim] (corpus-global)")
+            scales = jnp.asarray(scales, jnp.float32).reshape(dim)
+        elif scales is not None:
+            raise ValueError("scales only apply to a quantize='dims' index")
         n_shards = self._n_shards()
         per_shard = -(-ntotal // (n_shards * slice_rows)) * slice_rows
         padded = per_shard * n_shards
         self.dim = dim
         self._slice_rows = slice_rows
-        buf = jnp.zeros((padded, dim), self.dtype)
+        buf = jnp.zeros((padded, dim),
+                        jnp.int8 if self.quantize == "dims" else self.dtype)
         if self.mesh is not None:
             buf = jax.device_put(
                 buf, NamedSharding(self.mesh, P(self.axis, None)))
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(self.mesh, P()))
         self._emb = buf
-        self._scales = None
+        self._scales = scales
         self._ntotal = ntotal
         self._search = None
         self._update = None
 
     def _build_update(self):
-        """Jitted in-place writer: (buf, slice [slice_rows, D], start) → buf.
-        The buffer is donated, so XLA updates the HBM segment in place — no
-        host round-trip, no full-buffer copy."""
+        """Jitted in-place writer: (buf, slice [slice_rows, D], scales, start)
+        → buf. The buffer is donated, so XLA updates the HBM segment in place
+        — no host round-trip, no full-buffer copy. A quantize='dims' buffer
+        quantizes the incoming slice on device against the stored scales."""
+        quantized = self.quantize == "dims"
+
+        def cast(sl, scales, dtype):
+            if quantized:
+                return jnp.clip(jnp.round(sl / scales[None, :]),
+                                -127, 127).astype(jnp.int8)
+            return sl.astype(dtype)
+
         if self.mesh is None:
-            def upd(buf, sl, start):
+            def upd(buf, sl, scales, start):
                 return jax.lax.dynamic_update_slice(
-                    buf, sl.astype(buf.dtype), (start, 0))
+                    buf, cast(sl, scales, buf.dtype), (start, 0))
             return jax.jit(upd, donate_argnums=(0,))
 
         mesh, axis = self.mesh, self.axis
         rows_per_shard = self._emb.shape[0] // mesh.shape[axis]
 
-        def upd_shard(buf_shard, sl, start):
+        def upd_shard(buf_shard, sl, scales, start):
             # the slice is aligned to lie inside exactly one shard; only the
             # owner writes, everyone else passes its shard through untouched
             shard = jax.lax.axis_index(axis)
@@ -262,11 +290,11 @@ class FlatIPIndex:
             return jax.lax.cond(
                 owner == shard,
                 lambda b: jax.lax.dynamic_update_slice(
-                    b, sl.astype(b.dtype), (local, 0)),
+                    b, cast(sl, scales, b.dtype), (local, 0)),
                 lambda b: b, buf_shard)
 
         fn = jax.shard_map(upd_shard, mesh=mesh,
-                           in_specs=(P(axis, None), P(), P()),
+                           in_specs=(P(axis, None), P(), P(), P()),
                            out_specs=P(axis, None), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
@@ -292,7 +320,9 @@ class FlatIPIndex:
                 [emb, jnp.zeros((sr - emb.shape[0], emb.shape[1]), emb.dtype)])
         if self._update is None:
             self._update = self._build_update()
-        self._emb = self._update(self._emb, emb,
+        scales = self._scales if self._scales is not None \
+            else jnp.zeros((emb.shape[1],), jnp.float32)
+        self._emb = self._update(self._emb, emb, scales,
                                  jnp.asarray(start, jnp.int32))
 
     def _topk_fn(self, k: int, max_rows: int):

@@ -244,6 +244,41 @@ def test_dims_quantized_index_with_blockmax_path():
         FlatIPIndex(dim=32, quantize="nope")
 
 
+def test_int8_allocate_update_slice_matches_add():
+    """quantize='dims' allocate + update_slice (the at-scale build path: the
+    full 8.8M MS MARCO corpus only fits one v5e core as int8) must search
+    identically to the add()-built dims-quantized index when given the same
+    corpus-global scales — single-device and sharded."""
+    from ance_tpu.index.flat import quantize_dims_int8
+
+    rs = np.random.RandomState(12)
+    corpus = rs.randn(200, 16).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rs.randn(6, 16).astype(np.float32)
+    _, scales = quantize_dims_int8(jnp.asarray(corpus))
+
+    ref = FlatIPIndex(dim=16, method="scan", quantize="dims")
+    ref.add(corpus)
+    meshes = [None, Mesh(np.array(jax.devices()).reshape(8), ("data",))]
+    for mesh in meshes:
+        inc = FlatIPIndex(dim=16, mesh=mesh, method="scan", quantize="dims")
+        inc.allocate(200, 16, slice_rows=32, scales=scales)
+        assert inc._emb.dtype == jnp.int8
+        for s in range(0, 200, 32):  # short final slice: 8 rows
+            inc.update_slice(s, corpus[s:s + 32])
+        s1, i1 = ref.search(queries, k=9)
+        s2, i2 = inc.search(queries, k=9)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    # guards: dims allocate without scales; scales on an unquantized index
+    with pytest.raises(ValueError, match="scales"):
+        FlatIPIndex(dim=16, quantize="dims").allocate(8, 16, slice_rows=4)
+    with pytest.raises(ValueError, match="scales"):
+        FlatIPIndex(dim=16).allocate(8, 16, slice_rows=4,
+                                     scales=np.ones(16, np.float32))
+
+
 def test_update_slice_out_of_range_raises():
     from ance_tpu.index.flat import FlatIPIndex
 
