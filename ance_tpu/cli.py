@@ -380,6 +380,7 @@ def cmd_ance_loop(args):
         ann_chunk_factor=args.ann_chunk_factor,
         search_chunk_queries=args.search_chunk_queries,
         multichunk=spec.multichunk, shuffle_seed=args.seed,
+        index_quantize=args.index_quantize,
         checkpoint_dir=args.output_dir, save_every=args.save_steps,
         log_trust_ratios=args.log_trust_ratios,
         host_id=host_id, num_hosts=num_hosts)
@@ -1007,6 +1008,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "boundaries only); restarts resume automatically")
     p.add_argument("--log_trust_ratios", action="store_true",
                    help="LAMB trust-ratio stats in each refresh entry")
+    p.add_argument("--index_quantize", default=None, choices=["dims"],
+                   help="int8 HBM-resident index (half the bf16 footprint: "
+                        "the full 8.8M MS MARCO corpus fits ONE v5e core); "
+                        "per-dim scales snapshot from the first slice")
     p.set_defaults(fn=cmd_ance_loop)
 
     p = sub.add_parser("seed-pretrain",

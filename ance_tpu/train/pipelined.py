@@ -69,6 +69,11 @@ class PipelineConfig:
     dev_search_depth: int = 100
     search_chunk_queries: int = 4096   # queries per search work item
     multichunk: bool = False
+    index_quantize: Optional[str] = None  # 'dims': int8 HBM index (half the
+                                          # bf16 footprint — what fits the
+                                          # full 8.8M MS MARCO corpus on one
+                                          # v5e core); scales snapshot from
+                                          # the first encoded slice
     shuffle_seed: int = 42
     log_trust_ratios: bool = False     # LAMB trust-ratio stats per refresh
                                        # (reference lamb.py:11-22 log_lamb_rs)
@@ -151,10 +156,23 @@ class PipelinedAnce:
             self._passage_ids = np.repeat(
                 np.arange(n, dtype=np.int64), self._rows_per_record)
             if self.index is None:
-                self.index = FlatIPIndex(dim=emb.shape[1], mesh=self.mesh)
+                self.index = FlatIPIndex(
+                    dim=emb.shape[1], mesh=self.mesh,
+                    quantize=self.cfg.index_quantize or False)
+            scales = None
+            if self.cfg.index_quantize == "dims":
+                # corpus-global per-dim scales, snapshotted from the first
+                # encoded slice: LayerNorm'd encoder embeddings have stable
+                # per-dim ranges, and the 1.5x margin + int8 clip absorb
+                # drift across refreshes (later slices/refreshes quantize
+                # against these same scales)
+                import jax.numpy as jnp
+                amax = jnp.max(jnp.abs(emb.astype(jnp.float32)), axis=0)
+                scales = jnp.maximum(amax * 1.5 / 127.0, 1e-8)
             self.index.allocate(
                 n * self._rows_per_record, emb.shape[1],
-                slice_rows=self.cfg.encode_slice_size * self._rows_per_record)
+                slice_rows=self.cfg.encode_slice_size * self._rows_per_record,
+                scales=scales)
         self.index.update_slice(start * self._rows_per_record, emb)
 
     def _host_kwargs(self) -> dict:
