@@ -227,9 +227,9 @@ class FlatIPIndex:
         ``quantize='dims'`` indexes allocate an int8 buffer — half the HBM of
         bf16, which is what fits the full 8.8M-passage MS MARCO corpus on ONE
         v5e core — and require corpus-global per-dim ``scales`` [dim] up
-        front (LayerNorm'd encoder embeddings have stable per-dim ranges, so
-        a scale snapshot survives refreshes); each ``update_slice`` quantizes
-        its slice on device against those scales."""
+        front; each ``update_slice`` quantizes its slice on device against
+        the current scales, and ``set_scales`` re-snapshots them per refresh
+        cycle (training drifts embedding magnitudes)."""
         if self.quantize == "rows":
             raise ValueError("update_slice supports quantize='dims' only "
                              "(per-row scales can't fold into the query, and "
@@ -258,6 +258,20 @@ class FlatIPIndex:
         self._ntotal = ntotal
         self._search = None
         self._update = None
+
+    def set_scales(self, scales) -> None:
+        """Replace the corpus-global per-dim scales of a quantize='dims'
+        index (the refresh loop re-snapshots per cycle: rows written before
+        the change keep their int8 codes and decode against the NEW scales
+        until their slice is rewritten — a bounded one-cycle mis-scaling,
+        strictly milder than the stale-embedding semantics ANCE already
+        builds on). No recompile: scales enter search/update jits as args."""
+        if self.quantize != "dims":
+            raise ValueError("set_scales applies to quantize='dims' only")
+        scales = jnp.asarray(scales, jnp.float32).reshape(self.dim)
+        if self.mesh is not None:
+            scales = jax.device_put(scales, NamedSharding(self.mesh, P()))
+        self._scales = scales
 
     def _build_update(self):
         """Jitted in-place writer: (buf, slice [slice_rows, D], scales, start)

@@ -150,6 +150,19 @@ class PipelinedAnce:
             self.bfn, self.snapshot, self.passage_cache,
             self.cfg.encode_batch_size, multichunk=self.cfg.multichunk,
             start=start, stop=stop, **self._host_kwargs())
+        scales = None
+        if self.cfg.index_quantize == "dims" and start == 0:
+            # re-snapshot the corpus-global per-dim scales from this CYCLE's
+            # first slice: every slice of a cycle is encoded with the same
+            # frozen snapshot params, so scales taken here fit the whole
+            # cycle (1.5x margin for slice-to-slice variation). Rows from the
+            # previous cycle decode against the new scales until rewritten —
+            # a bounded one-cycle mis-scaling, milder than the stale
+            # negatives ANCE's convergence already tolerates (SURVEY §7.3
+            # staleness semantics); drift shows up in int8_clip_frac.
+            import jax.numpy as jnp
+            amax = jnp.max(jnp.abs(emb.astype(jnp.float32)), axis=0)
+            scales = jnp.maximum(amax * 1.5 / 127.0, 1e-8)
         if self.index is None or self.index._slice_rows is None:
             n = len(self.passage_cache)
             self._rows_per_record = emb.shape[0] // (stop - start)
@@ -159,20 +172,25 @@ class PipelinedAnce:
                 self.index = FlatIPIndex(
                     dim=emb.shape[1], mesh=self.mesh,
                     quantize=self.cfg.index_quantize or False)
-            scales = None
-            if self.cfg.index_quantize == "dims":
-                # corpus-global per-dim scales, snapshotted from the first
-                # encoded slice: LayerNorm'd encoder embeddings have stable
-                # per-dim ranges, and the 1.5x margin + int8 clip absorb
-                # drift across refreshes (later slices/refreshes quantize
-                # against these same scales)
-                import jax.numpy as jnp
-                amax = jnp.max(jnp.abs(emb.astype(jnp.float32)), axis=0)
-                scales = jnp.maximum(amax * 1.5 / 127.0, 1e-8)
             self.index.allocate(
                 n * self._rows_per_record, emb.shape[1],
                 slice_rows=self.cfg.encode_slice_size * self._rows_per_record,
                 scales=scales)
+        elif scales is not None:
+            self.index.set_scales(scales)
+        if self.cfg.index_quantize == "dims":
+            # observability for the snapshot-scales design: the fraction of
+            # entries the int8 write CLIPPED this slice. A drifting encoder
+            # that outgrows the first-refresh scales shows up here (in the
+            # refresh entry as int8_clip_frac) instead of silently
+            # saturating the index.
+            import jax.numpy as jnp
+            if not hasattr(self, "_clip_frac_fn"):
+                self._clip_frac_fn = jax.jit(lambda e, s: jnp.mean(
+                    (jnp.abs(e.astype(jnp.float32)) >
+                     s[None, :] * 127.0).astype(jnp.float32)))
+            self._cyc.setdefault("clip_fracs", []).append(
+                self._clip_frac_fn(emb, self.index._scales))
         self.index.update_slice(start * self._rows_per_record, emb)
 
     def _host_kwargs(self) -> dict:
@@ -272,6 +290,10 @@ class PipelinedAnce:
             entry["mean_loss"] = float(np.mean(
                 jax.device_get(self._losses_since_refresh)))
             self._losses_since_refresh = []
+        clip_fracs = self._cyc.pop("clip_fracs", None)
+        if clip_fracs:
+            entry["int8_clip_frac"] = float(np.mean(
+                jax.device_get(clip_fracs)))
         if cfg.log_trust_ratios and hasattr(self.state, "opt_state"):
             from ance_tpu.optim.lamb import trust_ratio_summary
             summary = trust_ratio_summary(self.state.opt_state,

@@ -112,13 +112,17 @@ def test_pipelined_int8_index(tmp_path):
     assert loop.index._emb.dtype == jnp.int8
     assert loop.index._scales is not None
     first, last = loop.history[0], loop.history[-1]
-    # at out_dim=16 the int8 noise floor is ~50x coarser (relative) than at
-    # the production 768, so the ndcg bar is looser than the fp test's; the
-    # robust signals are mining MRR (11x here) and recall through the
-    # quantized search path
+    # same learning bar as the fp test — the per-cycle scale re-snapshot is
+    # what makes this achievable (frozen first-refresh scales clipped 35% of
+    # entries by refresh 3 on this tiny high-LR model and stalled at
+    # +0.036 ndcg; with rescaling: +0.20)
+    assert last["dev_ndcg"] > first["dev_ndcg"] + 0.08, loop.history
     assert last["ann_mrr"] > 5 * first["ann_mrr"], loop.history
     assert last["dev_recall"] >= 0.9, loop.history
-    assert last["dev_ndcg"] > first["dev_ndcg"], loop.history
+    # clip observability: present every refresh and marginal everywhere
+    # (each cycle quantizes against scales from its own snapshot params)
+    assert all("int8_clip_frac" in h for h in loop.history)
+    assert last["int8_clip_frac"] < 0.05, loop.history
     # the scales snapshot survives refreshes: later refreshes re-quantized
     # fresh embeddings against the first-slice scales without blowing up
     assert loop.refresh_no >= 2
