@@ -208,6 +208,32 @@ class FlatIPIndex:
         self._update = None
         self._slice_rows = None  # add() layouts are not slice-aligned
 
+    def add_chunked(self, emb, slice_rows: int = 65_536) -> None:
+        """Build from a host array (mmap-friendly) WITHOUT staging the full
+        fp corpus in HBM: allocate() + streamed update_slice() writes, each
+        chunk cast/quantized on device. Results are identical to add() —
+        for quantize='dims' the scales come from an exact per-dim max pass
+        over the host array (same formula as quantize_dims_int8). This is
+        the serving-scale path: an 8.8M x 768 fp32 dump is 27 GB, which
+        add() would otherwise round-trip through device memory whole."""
+        if self.quantize == "rows":
+            raise ValueError("add_chunked supports unquantized or "
+                             "quantize='dims' indexes")
+        n, dim = emb.shape
+        scales = None
+        if self.quantize == "dims":
+            amax = np.zeros(dim, np.float32)
+            for s in range(0, n, slice_rows):
+                np.maximum(amax,
+                           np.abs(np.asarray(emb[s:s + slice_rows],
+                                             np.float32)).max(axis=0),
+                           out=amax)
+            scales = np.maximum(amax, 1e-12) / 127.0
+        self.allocate(n, dim, slice_rows=slice_rows, scales=scales)
+        for s in range(0, n, slice_rows):
+            self.update_slice(s, np.asarray(emb[s:s + slice_rows],
+                                            np.float32))
+
     def reset(self) -> None:
         self._emb, self._ntotal, self._search = None, 0, None
         self._update = None

@@ -279,6 +279,26 @@ def test_int8_allocate_update_slice_matches_add():
                                      scales=np.ones(16, np.float32))
 
 
+def test_add_chunked_matches_add():
+    """add_chunked (streamed build — never stages the full fp corpus in
+    device memory; the serving path at 8.8M scale) returns identical search
+    results to add(): same scales formula for 'dims', same cast otherwise."""
+    rs = np.random.RandomState(13)
+    corpus = rs.randn(300, 16).astype(np.float32)
+    queries = rs.randn(5, 16).astype(np.float32)
+    for quantize in (False, "dims"):
+        a = FlatIPIndex(dim=16, method="scan", quantize=quantize)
+        b = FlatIPIndex(dim=16, method="scan", quantize=quantize)
+        a.add(corpus)
+        b.add_chunked(corpus, slice_rows=64)  # 300 → short final chunk
+        s1, i1 = a.search(queries, k=8)
+        s2, i2 = b.search(queries, k=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    with pytest.raises(ValueError, match="dims"):
+        FlatIPIndex(dim=16, quantize="rows").add_chunked(corpus)
+
+
 def test_update_slice_out_of_range_raises():
     from ance_tpu.index.flat import FlatIPIndex
 
