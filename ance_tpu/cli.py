@@ -203,7 +203,8 @@ def _make_training(args, model, spec):
             mesh=mesh, multichunk=spec.multichunk)
     else:
         step = make_train_step(
-            triplet_loss_fn(model, multichunk=spec.multichunk), opt,
+            triplet_loss_fn(model, multichunk=spec.multichunk,
+                            fused_body=args.fused_body), opt,
             accum_steps=args.gradient_accumulation_steps, mesh=mesh)
     return state, step, mesh, (host_id, num_hosts)
 
@@ -220,6 +221,9 @@ def _add_train_flags(p):
     p.add_argument("--per_device_train_batch_size", type=int, default=32)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fused_body", action="store_true",
+                   help="encode pos+neg as ONE [2B, S] pass (exactly equal "
+                        "in deterministic mode; wider GEMMs)")
     p.add_argument("--data_parallel", action="store_true", default=True)
     p.add_argument("--no_data_parallel", dest="data_parallel",
                    action="store_false")
