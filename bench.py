@@ -251,5 +251,42 @@ def main():
     print(json.dumps(out))
 
 
+def _run_with_retries():
+    """Watchdog: the tunneled TPU backend sometimes hangs or throws
+    UNAVAILABLE at init for minutes-to-hours when another session holds the
+    chip (observed 2026-08-17: 2.5 h jam, then init errors). The benchmark
+    itself can't recover once jax binds a dead backend, so run it in a
+    subprocess with a timeout and retry — one flaky window must not zero a
+    round's benchmark."""
+    import os
+    import subprocess
+    import sys
+
+    attempts, timeout_s, sleep_s = 6, 1800, 120
+    env = dict(os.environ, ANCE_BENCH_INNER="1")
+    for i in range(attempts):
+        try:
+            res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {i + 1}/{attempts}: timed out after "
+                  f"{timeout_s}s (chip likely held by another session)",
+                  file=sys.stderr)
+            continue
+        if res.returncode == 0 and res.stdout.strip():
+            print(res.stdout.strip().splitlines()[-1])
+            return
+        print(f"bench attempt {i + 1}/{attempts}: rc={res.returncode}\n"
+              f"{res.stderr.strip().splitlines()[-1] if res.stderr.strip() else ''}",
+              file=sys.stderr)
+        time.sleep(sleep_s)
+    raise SystemExit("bench: all attempts failed (TPU unavailable)")
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("ANCE_BENCH_INNER") == "1":
+        main()
+    else:
+        _run_with_retries()
