@@ -821,21 +821,18 @@ def cmd_serve(args):
                            else args.quantize,
                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         index.add(emb)
-    elif args.quantize == "rows":
-        index = FlatIPIndex(
-            dim=emb.shape[1],
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            quantize="rows")
-        index.add(emb)
     else:
         index = FlatIPIndex(
             dim=emb.shape[1],
             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             quantize=False if args.quantize == "none" else args.quantize)
-        # chunked build: never stages the full fp corpus in HBM (at the
-        # 8.8M x 768 reference scale the fp32 dump is 27 GB; the int8
-        # index it builds is 6.3 GB — one-v5e-core serving)
-        index.add_chunked(emb)
+        if args.quantize == "rows":
+            index.add(emb)  # per-row scales need the corpus-global pass
+        else:
+            # chunked build: never stages the full fp corpus in HBM (at the
+            # 8.8M x 768 reference scale the fp32 dump is 27 GB; the int8
+            # index it builds is 6.3 GB — one-v5e-core serving)
+            index.add_chunked(emb)
 
     tokenizer = None
     if not args.query_cache:

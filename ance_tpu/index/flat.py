@@ -96,14 +96,20 @@ def topk_inner_product(queries: jax.Array, corpus: jax.Array, *, k: int,
     return scores, ids
 
 
+def _quantize_int8(x: jax.Array, scales_bcast: jax.Array) -> jax.Array:
+    """The one int8 quantization convention (symmetric, round-to-nearest,
+    clamp ±127). Every builder — add() via quantize_*_int8, update_slice via
+    _build_update — must share it or their indexes silently diverge."""
+    return jnp.clip(jnp.round(x / scales_bcast), -127, 127).astype(jnp.int8)
+
+
 def quantize_rows_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8 quantization: returns (values int8 [N, D],
     scales fp32 [N]) with value·scale ≈ original. Halves the HBM footprint
     of the reference's fp32 FAISS index (beyond-parity capacity option)."""
     emb = jnp.asarray(emb, jnp.float32)
     scales = jnp.maximum(jnp.max(jnp.abs(emb), axis=1), 1e-12) / 127.0
-    q = jnp.clip(jnp.round(emb / scales[:, None]), -127, 127).astype(jnp.int8)
-    return q, scales
+    return _quantize_int8(emb, scales[:, None]), scales
 
 
 def quantize_dims_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -115,8 +121,7 @@ def quantize_dims_int8(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
     accuracy is close to per-row quantization."""
     emb = jnp.asarray(emb, jnp.float32)
     scales = jnp.maximum(jnp.max(jnp.abs(emb), axis=0), 1e-12) / 127.0
-    q = jnp.clip(jnp.round(emb / scales[None, :]), -127, 127).astype(jnp.int8)
-    return q, scales
+    return _quantize_int8(emb, scales[None, :]), scales
 
 
 def merge_topk(scores: jax.Array, ids: jax.Array, k: int):
@@ -220,6 +225,9 @@ class FlatIPIndex:
             raise ValueError("add_chunked supports unquantized or "
                              "quantize='dims' indexes")
         n, dim = emb.shape
+        # small corpora must not pay for 65k-row padding (allocate pads to a
+        # whole number of slices, and padded rows are scored then masked)
+        slice_rows = min(slice_rows, n)
         scales = None
         if self.quantize == "dims":
             amax = np.zeros(dim, np.float32)
@@ -308,8 +316,7 @@ class FlatIPIndex:
 
         def cast(sl, scales, dtype):
             if quantized:
-                return jnp.clip(jnp.round(sl / scales[None, :]),
-                                -127, 127).astype(jnp.int8)
+                return _quantize_int8(sl, scales[None, :])
             return sl.astype(dtype)
 
         if self.mesh is None:

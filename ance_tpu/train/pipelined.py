@@ -180,17 +180,17 @@ class PipelinedAnce:
             self.index.set_scales(scales)
         if self.cfg.index_quantize == "dims":
             # observability for the snapshot-scales design: the fraction of
-            # entries the int8 write CLIPPED this slice. A drifting encoder
-            # that outgrows the first-refresh scales shows up here (in the
-            # refresh entry as int8_clip_frac) instead of silently
-            # saturating the index.
+            # entries the int8 write CLIPPED this cycle (row-weighted — a
+            # short final slice must not skew the mean). Drift beyond the
+            # cycle's scales shows up as int8_clip_frac in the refresh
+            # entry instead of silently saturating the index.
             import jax.numpy as jnp
-            if not hasattr(self, "_clip_frac_fn"):
-                self._clip_frac_fn = jax.jit(lambda e, s: jnp.mean(
+            if not hasattr(self, "_clip_count_fn"):
+                self._clip_count_fn = jax.jit(lambda e, s: jnp.sum(
                     (jnp.abs(e.astype(jnp.float32)) >
                      s[None, :] * 127.0).astype(jnp.float32)))
-            self._cyc.setdefault("clip_fracs", []).append(
-                self._clip_frac_fn(emb, self.index._scales))
+            self._cyc.setdefault("clip_counts", []).append(
+                (self._clip_count_fn(emb, self.index._scales), emb.size))
         self.index.update_slice(start * self._rows_per_record, emb)
 
     def _host_kwargs(self) -> dict:
@@ -290,10 +290,11 @@ class PipelinedAnce:
             entry["mean_loss"] = float(np.mean(
                 jax.device_get(self._losses_since_refresh)))
             self._losses_since_refresh = []
-        clip_fracs = self._cyc.pop("clip_fracs", None)
-        if clip_fracs:
-            entry["int8_clip_frac"] = float(np.mean(
-                jax.device_get(clip_fracs)))
+        clip_counts = self._cyc.pop("clip_counts", None)
+        if clip_counts:
+            clipped = float(np.sum(jax.device_get(
+                [c for c, _ in clip_counts])))
+            entry["int8_clip_frac"] = clipped / sum(n for _, n in clip_counts)
         if cfg.log_trust_ratios and hasattr(self.state, "opt_state"):
             from ance_tpu.optim.lamb import trust_ratio_summary
             summary = trust_ratio_summary(self.state.opt_state,

@@ -123,8 +123,8 @@ def test_pipelined_int8_index(tmp_path):
     # (each cycle quantizes against scales from its own snapshot params)
     assert all("int8_clip_frac" in h for h in loop.history)
     assert last["int8_clip_frac"] < 0.05, loop.history
-    # the scales snapshot survives refreshes: later refreshes re-quantized
-    # fresh embeddings against the first-slice scales without blowing up
+    # scales re-snapshot at each cycle's first slice (set_scales), so later
+    # refreshes quantize against their own snapshot's range
     assert loop.refresh_no >= 2
     assert all(h["num_triples"] > 0 for h in loop.history)
 
