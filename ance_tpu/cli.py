@@ -747,11 +747,15 @@ def cmd_serve(args):
     if not args.queries and not args.query_cache:
         raise SystemExit("serve needs a query source: --queries (raw TSV) "
                          "or --query_cache (tokenized cache)")
-    if not args.emb_prefix and not args.data_dir:
+    if not args.emb_prefix and not args.data_dir and not args.load_index:
         raise SystemExit("serve needs a corpus source: --emb_prefix (infer "
-                         "dump) or --data_dir (token cache to encode)")
+                         "dump), --data_dir (token cache to encode), or "
+                         "--load_index (saved index)")
     if args.index != "ivf" and (args.nlist is not None or args.nprobe != 8):
         raise SystemExit("--nlist/--nprobe apply to --index ivf only")
+    if (args.load_index or args.save_index) and args.index == "ivf":
+        raise SystemExit("--save_index/--load_index apply to the flat "
+                         "index only")
 
     spec, model = _build_model(args)
     L = args.max_query_length
@@ -771,6 +775,15 @@ def cmd_serve(args):
               "warm-start — serving RANDOM encoder params; rankings will "
               "be garbage unless this is a smoke test", file=sys.stderr)
 
+    if args.load_index:
+        # instant restart: int8 stays int8 on disk, no corpus re-encode and
+        # no quantization pass; ids were saved in REAL pid space
+        index = FlatIPIndex.load(args.load_index)
+        e2id = np.load(args.load_index + ".ids.npy").astype(np.int64)
+        if len(e2id) != index.ntotal:
+            raise SystemExit("saved index and its .ids.npy sidecar disagree")
+        return _serve_with_index(args, spec, model, params, params_source,
+                                 index, e2id, pid_space="real")
     if args.emb_prefix:
         from ance_tpu.evaluation.offline import load_embedding_shards
         emb = load_embedding_shards(args.emb_prefix)
@@ -833,7 +846,23 @@ def cmd_serve(args):
             # 8.8M x 768 reference scale the fp32 dump is 27 GB; the int8
             # index it builds is 6.3 GB — one-v5e-core serving)
             index.add_chunked(emb)
+        if args.save_index:
+            index.save(args.save_index)
+            np.save(args.save_index + ".ids.npy", np.asarray(e2id, np.int64))
+            print(f"saved index ({index.ntotal} rows) to "
+                  f"{args.save_index}.npz", file=sys.stderr)
+    return _serve_with_index(args, spec, model, params, params_source,
+                             index, e2id, pid_space)
 
+
+def _serve_with_index(args, spec, model, params, params_source,
+                      index, e2id, pid_space):
+    import numpy as np
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.serve import Retriever
+    from ance_tpu.train.encode import make_encode_fn
+
+    L = args.max_query_length
     tokenizer = None
     if not args.query_cache:
         tokenizer = _tokenizer_factory(spec.tokenizer_name,
@@ -1116,6 +1145,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 corpus storage (dims folds scales into the "
                         "query; 1.18x faster than bf16 measured, 4x smaller "
                         "than fp32 FAISS)")
+    p.add_argument("--save_index", default=None,
+                   help="persist the built flat index (+ .ids.npy sidecar) "
+                        "after building — int8 stays int8 on disk")
+    p.add_argument("--load_index", default=None,
+                   help="serve from a saved index: instant restart, no "
+                        "corpus encode / quantization pass")
     p.add_argument("--with_scores", action="store_true")
     p.add_argument("--format", default="msmarco",
                    choices=["msmarco", "trec"],

@@ -242,6 +242,58 @@ class FlatIPIndex:
             self.update_slice(s, np.asarray(emb[s:s + slice_rows],
                                             np.float32))
 
+    def save(self, path: str) -> None:
+        """Persist the index contents (FAISS ``write_index`` analogue —
+        dpr_utils.py:214-218 ``serialize``): values at their storage dtype
+        (int8 stays int8: a saved 8.8M x 768 dims index is 6.3 GB, and
+        loading skips the quantization pass entirely), scales, and row
+        count. Padding rows are stripped; load() re-pads for its own mesh."""
+        if self._emb is None:
+            raise ValueError("index is empty; nothing to save")
+        emb = np.asarray(jax.device_get(self._emb))[:self._ntotal]
+        dtype_name = emb.dtype.name
+        if dtype_name == "bfloat16":  # np.savez can't round-trip ml_dtypes
+            emb = emb.view(np.uint16)
+        np.savez(path, emb=emb, dtype_name=np.asarray(dtype_name),
+                 scales=(np.asarray(jax.device_get(self._scales))
+                         if self._scales is not None else np.zeros(0)),
+                 quantize=np.asarray(self.quantize or ""),
+                 ntotal=np.asarray(self._ntotal))
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None,
+             axis: str = "data", method: str = "auto") -> "FlatIPIndex":
+        """Rebuild a saved index, re-sharding for ``mesh`` (the shard count
+        may differ from the saving process's — padding rows are recut).
+        The loaded index is search-ready; call allocate() to start a fresh
+        refresh cycle (slice alignment is not preserved across save)."""
+        with np.load(path if str(path).endswith(".npz") else f"{path}.npz",
+                     allow_pickle=False) as z:
+            emb, scales = z["emb"], z["scales"]
+            quantize = str(z["quantize"]) or False
+            ntotal = int(z["ntotal"])
+            if str(z["dtype_name"]) == "bfloat16":
+                emb = emb.view(jnp.bfloat16)
+        idx = cls(dim=emb.shape[1], mesh=mesh, axis=axis, method=method,
+                  dtype=emb.dtype if emb.dtype != np.int8 else jnp.float32,
+                  quantize=quantize)
+        padded, _ = _pad_rows(jnp.asarray(emb), idx._n_shards())
+        if mesh is not None:
+            padded = jax.device_put(
+                padded, NamedSharding(mesh, P(axis, None)))
+        idx._emb = padded
+        idx._ntotal = ntotal
+        if quantize:
+            s = jnp.asarray(scales, jnp.float32)
+            if quantize == "rows":
+                s, _ = _pad_rows(s, idx._n_shards())
+                if mesh is not None:
+                    s = jax.device_put(s, NamedSharding(mesh, P(axis)))
+            elif mesh is not None:
+                s = jax.device_put(s, NamedSharding(mesh, P()))
+            idx._scales = s
+        return idx
+
     def reset(self) -> None:
         self._emb, self._ntotal, self._search = None, 0, None
         self._update = None

@@ -126,15 +126,26 @@ def test_cli_serve_end_to_end(tmp_path, capsys):
                                          out_tsv)
     assert np.isfinite(metrics["MRR @10"])
 
-    # pre-tokenized query-cache path + int8 corpus: same output shape
+    # pre-tokenized query-cache path + int8 corpus: same output shape;
+    # also persist the int8 index for the restart path below
+    idx_path = str(tmp_path / "saved_index")
     main([*serve_base, "--query_cache", os.path.join(data, "dev-query"),
-          "--quantize", "dims", "--with_scores"])
+          "--quantize", "dims", "--with_scores", "--save_index", idx_path])
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["queries"] == 16
     rows2 = [l.split("\t") for l in open(out_tsv).read().splitlines()]
     assert all(len(r) == 4 for r in rows2)  # scores column present
     scores = [float(r[3]) for r in rows2]
     assert all(np.isfinite(s) for s in scores)
+
+    # instant-restart path: --load_index must reproduce the saved run's
+    # rankings exactly (int8 codes round-trip, ids ride the sidecar)
+    main([*serve_base, "--query_cache", os.path.join(data, "dev-query"),
+          "--load_index", idx_path, "--with_scores"])
+    summary_l = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary_l["corpus_rows"] == 64
+    rows_l = [l.split("\t") for l in open(out_tsv).read().splitlines()]
+    assert rows_l == rows2
 
     # IVF (approximate) index path: same output contract; nprobe = nlist
     # makes it exhaustive, so results match the flat index up to fp32

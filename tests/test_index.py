@@ -299,6 +299,35 @@ def test_add_chunked_matches_add():
         FlatIPIndex(dim=16, quantize="rows").add_chunked(corpus)
 
 
+def test_index_save_load_roundtrip(tmp_path):
+    """save/load (FAISS write_index analogue): identical search results
+    across dtypes, int8 stays int8 on disk (no re-quantization on load),
+    and a single-device save reloads onto the 8-shard mesh (padding recut
+    for the new shard count)."""
+    rs = np.random.RandomState(14)
+    corpus = rs.randn(100, 16).astype(np.float32)  # 100 % 8 != 0: repad path
+    queries = rs.randn(4, 16).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    for quantize, dtype in ((False, jnp.float32), (False, jnp.bfloat16),
+                            ("dims", jnp.float32), ("rows", jnp.float32)):
+        a = FlatIPIndex(dim=16, method="scan", quantize=quantize, dtype=dtype)
+        a.add(corpus)
+        path = str(tmp_path / f"idx_{quantize}_{dtype.__name__}")
+        a.save(path)
+        s1, i1 = a.search(queries, k=7)
+        for m in (None, mesh):
+            b = FlatIPIndex.load(path, mesh=m, method="scan")
+            assert b.ntotal == 100
+            if quantize:
+                assert b._emb.dtype == jnp.int8
+            s2, i2 = b.search(queries, k=7)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-6)
+    with pytest.raises(ValueError, match="empty"):
+        FlatIPIndex(dim=16).save(str(tmp_path / "never"))
+
+
 def test_update_slice_out_of_range_raises():
     from ance_tpu.index.flat import FlatIPIndex
 
