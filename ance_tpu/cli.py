@@ -753,9 +753,6 @@ def cmd_serve(args):
                          "--load_index (saved index)")
     if args.index != "ivf" and (args.nlist is not None or args.nprobe != 8):
         raise SystemExit("--nlist/--nprobe apply to --index ivf only")
-    if (args.load_index or args.save_index) and args.index == "ivf":
-        raise SystemExit("--save_index/--load_index apply to the flat "
-                         "index only")
 
     spec, model = _build_model(args)
     L = args.max_query_length
@@ -776,9 +773,20 @@ def cmd_serve(args):
               "be garbage unless this is a smoke test", file=sys.stderr)
 
     if args.load_index:
-        # instant restart: int8 stays int8 on disk, no corpus re-encode and
-        # no quantization pass; ids were saved in REAL pid space
-        index = FlatIPIndex.load(args.load_index)
+        # instant restart: int8 stays int8 on disk, no corpus re-encode, no
+        # quantization or k-means pass; ids were saved in REAL pid space.
+        # The file carries its own kind (flat: 'emb', ivf: 'bins_emb').
+        lp = args.load_index if args.load_index.endswith(".npz") \
+            else args.load_index + ".npz"
+        with np.load(lp, allow_pickle=False) as z:
+            is_ivf = "bins_emb" in z.files
+        if is_ivf:
+            from ance_tpu.index.ivf import IVFIPIndex
+            index = IVFIPIndex.load(
+                args.load_index,
+                nprobe=args.nprobe if args.nprobe != 8 else None)
+        else:
+            index = FlatIPIndex.load(args.load_index)
         e2id = np.load(args.load_index + ".ids.npy").astype(np.int64)
         if len(e2id) != index.ntotal:
             raise SystemExit("saved index and its .ids.npy sidecar disagree")
@@ -846,11 +854,11 @@ def cmd_serve(args):
             # 8.8M x 768 reference scale the fp32 dump is 27 GB; the int8
             # index it builds is 6.3 GB — one-v5e-core serving)
             index.add_chunked(emb)
-        if args.save_index:
-            index.save(args.save_index)
-            np.save(args.save_index + ".ids.npy", np.asarray(e2id, np.int64))
-            print(f"saved index ({index.ntotal} rows) to "
-                  f"{args.save_index}.npz", file=sys.stderr)
+    if args.save_index:
+        index.save(args.save_index)
+        np.save(args.save_index + ".ids.npy", np.asarray(e2id, np.int64))
+        print(f"saved index ({index.ntotal} rows) to "
+              f"{args.save_index}.npz", file=sys.stderr)
     return _serve_with_index(args, spec, model, params, params_source,
                              index, e2id, pid_space)
 

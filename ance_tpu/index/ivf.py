@@ -365,6 +365,13 @@ class IVFIPIndex:
             self._dim_scales = None
             centroids = self.centroids
 
+        self._publish(packed, bins, centroids, n)
+
+    def _publish(self, packed: np.ndarray, bins: np.ndarray, centroids,
+                 n: int) -> None:
+        """Pad clusters to the shard count, move bins/ids/centroids to
+        device(s), and make them searchable (shared by add() and load())."""
+        cap = packed.shape[1]
         n_shards = self._n_shards()
         pad_clusters = (-self.nlist) % n_shards
         if pad_clusters:  # empty clusters on the last shard, never probed
@@ -391,6 +398,54 @@ class IVFIPIndex:
         self._search_centroids = centroids
         self._ntotal = n
         self._search_cache = {}
+
+    def save(self, path: str) -> None:
+        """Persist bins + centroids + scales (the k-means fit and the packed
+        layout are the expensive parts of an IVF build — a reload skips
+        both). Cluster padding is stripped; load() re-pads for its mesh."""
+        if self._bins_emb is None:
+            raise ValueError("index is empty; nothing to save")
+        nl = self.nlist
+        bins_emb = np.asarray(jax.device_get(self._bins_emb))[:nl]
+        dtype_name = bins_emb.dtype.name
+        if dtype_name == "bfloat16":  # np.savez can't round-trip ml_dtypes
+            bins_emb = bins_emb.view(np.uint16)
+        np.savez(path, bins_emb=bins_emb,
+                 dtype_name=np.asarray(dtype_name),
+                 bins_ids=np.asarray(jax.device_get(self._bins_ids))[:nl],
+                 centroids=np.asarray(jax.device_get(self.centroids)),
+                 dim_scales=(self._dim_scales if self._dim_scales is not None
+                             else np.zeros(0)),
+                 ntotal=np.asarray(self._ntotal),
+                 nprobe=np.asarray(self.nprobe))
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None,
+             axis: str = "data", nprobe: Optional[int] = None
+             ) -> "IVFIPIndex":
+        """Rebuild a saved IVF index, re-sharding clusters for ``mesh``.
+        Centroids load pinned (add() after load reuses the clustering)."""
+        with np.load(path if str(path).endswith(".npz") else f"{path}.npz",
+                     allow_pickle=False) as z:
+            bins_emb, bins_ids = z["bins_emb"], z["bins_ids"]
+            centroids, scales = z["centroids"], z["dim_scales"]
+            ntotal, saved_nprobe = int(z["ntotal"]), int(z["nprobe"])
+            if str(z["dtype_name"]) == "bfloat16":
+                bins_emb = bins_emb.view(jnp.bfloat16)
+        quantize = "dims" if bins_emb.dtype == np.int8 else False
+        idx = cls(dim=bins_emb.shape[2], nlist=bins_emb.shape[0],
+                  nprobe=nprobe if nprobe is not None else saved_nprobe,
+                  dtype=(jnp.float32 if quantize else bins_emb.dtype),
+                  mesh=mesh, axis=axis, quantize=quantize)
+        idx.centroids = jnp.asarray(centroids)
+        idx._pinned = True
+        if quantize:
+            idx._dim_scales = scales.astype(np.float32)
+            folded = idx.centroids / jnp.asarray(idx._dim_scales)
+        else:
+            folded = idx.centroids
+        idx._publish(bins_emb, bins_ids.astype(np.int64), folded, ntotal)
+        return idx
 
     def reset(self) -> None:
         self._bins_emb = self._bins_ids = None

@@ -145,6 +145,39 @@ def test_ivf_sharded_mesh_search():
     assert recall >= 0.85, recall
 
 
+def test_ivf_save_load_roundtrip(tmp_path):
+    """save/load skips the k-means fit AND the packing pass; identical
+    search results across fp32/bf16/int8-dims, single-device and across a
+    shard-count change (26 clusters save unpadded, reload onto 8 shards)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    rs = np.random.RandomState(15)
+    corpus = _clustered_corpus(rs, n_clusters=24, per_cluster=32, dim=32)
+    queries = corpus[rs.choice(len(corpus), 16, replace=False)]
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    for quantize, dtype in ((False, jnp.float32), (False, jnp.bfloat16),
+                            ("dims", jnp.float32)):
+        a = IVFIPIndex(dim=32, nlist=26, nprobe=8, seed=12, dtype=dtype,
+                       quantize=quantize)
+        a.add(corpus)
+        s1, i1 = a.search(queries, k=10)
+        path = str(tmp_path / f"ivf_{quantize}_{dtype.__name__}")
+        a.save(path)
+        for m in (None, mesh):
+            b = IVFIPIndex.load(path, mesh=m)
+            assert b.ntotal == len(corpus) and b.nprobe == 8
+            s2, i2 = b.search(queries, k=10)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-5)
+            # centroids load pinned: a re-add reuses the clustering
+            assert b._pinned
+    with pytest.raises(ValueError, match="empty"):
+        IVFIPIndex(dim=32).save(str(tmp_path / "never"))
+
+
 def test_ivf_int8_dims_quantization():
     """int8 bins with per-dim scales: near-identical ranking to fp32 IVF
     (scales fold into the query and out of the search centroids)."""
