@@ -527,6 +527,7 @@ def cmd_generate(args, inference_only=False):
                            ann_chunk_factor=args.ann_chunk_factor,
                            ann_measure_topk_mrr=args.ann_measure_topk_mrr,
                            multichunk=spec.multichunk,
+                           index_quantize=args.index_quantize,
                            encode_batch_size=args.per_device_eval_batch_size)
     train_qrels = load_offset_qrels(args.data_dir + "/train-qrel.tsv")
     dev_qrels = load_offset_qrels(args.data_dir + "/dev-qrel.tsv")
@@ -606,6 +607,7 @@ def cmd_generate_dpr(args):
             TokenCache(args.data_dir + "/trivia-test-query") as tr, \
             TokenCache(args.data_dir + "/passages") as pc:
         result = generate_new_ann_dpr(
+            index_quantize=args.index_quantize,
             output_num=args.output_num, checkpoint_path=ckpt_path or "<init>",
             params=params, query_encode_fn=qfn, body_encode_fn=bfn,
             train_query_cache=tq, test_query_cache=te,
@@ -1096,6 +1098,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--negative_sample", type=int, default=5)
         p.add_argument("--ann_chunk_factor", type=int, default=5)
         p.add_argument("--ann_measure_topk_mrr", action="store_true")
+        p.add_argument("--index_quantize", default=None, choices=["dims"],
+                       help="int8 corpus index (full 8.8M corpus on one "
+                            "v5e core)")
         p.add_argument("--per_device_eval_batch_size", type=int, default=128)
         p.add_argument("--tensor_parallel", type=int, default=1,
                        help="shard the encoder weights Megatron-style over "
@@ -1116,6 +1121,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_num", type=int, default=0)
     p.add_argument("--topk_training", type=int, default=100)
     p.add_argument("--negative_sample", type=int, default=20)
+    p.add_argument("--index_quantize", default=None, choices=["dims"],
+                   help="int8 corpus index (21M wiki passages: 15 GB int8 "
+                        "vs 60 GB fp32 FAISS)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="shard the encoder weights Megatron-style over "

@@ -169,6 +169,8 @@ class AnnGenConfig:
     dev_search_depth: int = 100      # dev_I search width (run_ann_data_gen.py:276)
     encode_batch_size: int = 128
     multichunk: bool = False         # MaxP document mode
+    index_quantize: str | None = None  # 'dims': int8 index (full 8.8M corpus
+                                       # on one v5e core; see index/flat.py)
     seed: int = 0
 
 
@@ -199,8 +201,14 @@ def generate_new_ann(cfg: AnnGenConfig, *,
         multichunk=cfg.multichunk)
 
     if index is None:
-        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh)
-    index.add(passage_emb)
+        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh,
+                            quantize=cfg.index_quantize or False)
+    if index.quantize == "dims":
+        # streamed build — never stages the fp corpus in HBM (27 GB at the
+        # 8.8M reference scale; the int8 index is 6.3 GB)
+        index.add_chunked(passage_emb)
+    else:
+        index.add(passage_emb)
 
     if inference_only:
         return {"index": index, "passage_embedding2id": passage_ids,

@@ -36,7 +36,8 @@ def generate_new_ann_dpr(*, output_num: int, checkpoint_path: str, params,
                          negative_sample: int = 20,
                          dev_search_depth: int = 100,
                          encode_batch_size: int = 128,
-                         index=None, seed: int = 0, mesh=None) -> dict:
+                         index=None, index_quantize=None, seed: int = 0,
+                         mesh=None) -> dict:
     """One DPR encode→index→validate→mine→write pass
     (reference run_ann_data_gen_dpr.py:204-278).
 
@@ -55,8 +56,12 @@ def generate_new_ann_dpr(*, output_num: int, checkpoint_path: str, params,
         body_encode_fn, params, passage_cache, encode_batch_size)
 
     if index is None:
-        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh)
-    index.add(passage_emb)
+        index = FlatIPIndex(dim=passage_emb.shape[1], mesh=mesh,
+                            quantize=index_quantize or False)
+    if index.quantize == "dims":
+        index.add_chunked(passage_emb)  # no fp-corpus HBM staging
+    else:
+        index.add(passage_emb)
 
     k_dev = min(dev_search_depth, index.ntotal)
     _, dev_I = index.search(test_emb, k_dev)
