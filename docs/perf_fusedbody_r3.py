@@ -63,7 +63,9 @@ def main():
         for fused in (False, True):
             step = make_train_step(
                 triplet_loss_fn(model, fused_body=fused), opt)
-            state = init_train_state(params, opt)
+            # the jitted step DONATES its input state — a shared `params`
+            # would be deleted after the first config's first step
+            state = init_train_state(jax.tree.map(jnp.copy, params), opt)
             state, m = step(state, batch, jax.random.PRNGKey(1))
             mat(m["loss"])  # compile
             it = iter(range(100_000))
