@@ -207,7 +207,27 @@ def bench_search(jax, jnp, on_tpu):
         return q * reps / (time.perf_counter() - t0)  # qps
 
     med, lo, hi = sample(once, N_SAMPLES if on_tpu else 2)
-    return (med, lo, hi), n
+
+    # int8 variant on the same corpus/queries: quantize='dims' halves the
+    # HBM bytes the scan reads (the production at-scale storage — the full
+    # 8.8M MS MARCO corpus only fits one v5e core as int8, DESIGN.md §4.1).
+    del index
+    index8 = FlatIPIndex(dim=d, quantize="dims",
+                         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    index8.add(corpus)
+    s, _ = index8.search(queries, k=k)
+    _materialize(s)  # compile
+
+    def once8():
+        t0 = time.perf_counter()
+        s = None
+        for _ in range(reps):
+            s, _ = index8.search(queries, k=k)
+        _materialize(s)
+        return q * reps / (time.perf_counter() - t0)
+
+    med8, lo8, hi8 = sample(once8, N_SAMPLES if on_tpu else 2)
+    return (med, lo, hi), (med8, lo8, hi8), n
 
 
 def _spread(lo, hi, nd=1):
@@ -225,7 +245,8 @@ def main():
     pps, pps_lo, pps_hi = bench_encode(jax, jnp, on_tpu)
     maxp_dps, maxp_lo, maxp_hi = bench_maxp_encode(jax, jnp, on_tpu)
     (train_ms, tr_lo, tr_hi), train_b = bench_train_step(jax, jnp, on_tpu)
-    (search_qps, s_lo, s_hi), corpus_n = bench_search(jax, jnp, on_tpu)
+    (search_qps, s_lo, s_hi), (q8, q8_lo, q8_hi), corpus_n = bench_search(
+        jax, jnp, on_tpu)
 
     peak = PEAK_TFLOPS.get(kind)
     tflops = pps * GFLOP_PER_PASSAGE / 1000.0
@@ -246,6 +267,8 @@ def main():
         "train_batch": train_b,
         "search_qps": round(search_qps, 1),
         "search_qps_spread": _spread(s_lo, s_hi),
+        "search_qps_int8": round(q8, 1),
+        "search_qps_int8_spread": _spread(q8_lo, q8_hi),
         "search_corpus": corpus_n,
     }
     print(json.dumps(out))
