@@ -177,11 +177,31 @@ def _make_training(args, model, spec):
     host_id, num_hosts = initialize_distributed(
         coordinator_address=args.coordinator_address,
         num_processes=args.num_processes, process_id=args.process_id)
-    sched_fn = warmup_cosine if args.lr_style == "cosine" else warmup_linear
-    schedule = sched_fn(args.learning_rate, args.warmup_steps, args.max_steps)
-    opt = make_optimizer(args.optimizer, schedule, eps=args.adam_epsilon,
-                         weight_decay=args.weight_decay,
-                         max_grad_norm=args.max_grad_norm)
+    if getattr(args, "rewarmup_per_dataset", False):
+        # the reference's DEFAULT scheduler behavior (a fresh warmup per
+        # ann-data file, run_ann.py:210-215); our default matches the
+        # reference's --single_warmup (one global schedule, run_ann.py:174)
+        if getattr(args, "single_warmup", False):
+            raise SystemExit("--single_warmup and --rewarmup_per_dataset "
+                             "are mutually exclusive")
+        if args.lr_style != "linear":
+            raise SystemExit("--rewarmup_per_dataset implies the linear "
+                             "schedule (the reference rebuilds "
+                             "get_linear_schedule_with_warmup)")
+        opt = make_optimizer(args.optimizer, args.learning_rate,
+                             eps=args.adam_epsilon,
+                             weight_decay=args.weight_decay,
+                             max_grad_norm=args.max_grad_norm,
+                             rewarmup=(args.warmup_steps, args.max_steps))
+    else:
+        sched_fn = warmup_cosine if args.lr_style == "cosine" \
+            else warmup_linear
+        schedule = sched_fn(args.learning_rate, args.warmup_steps,
+                            args.max_steps)
+        opt = make_optimizer(args.optimizer, schedule,
+                             eps=args.adam_epsilon,
+                             weight_decay=args.weight_decay,
+                             max_grad_norm=args.max_grad_norm)
     L = args.max_query_length
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed),
                                  jnp.zeros((2, L), jnp.int32),
@@ -217,6 +237,16 @@ def _add_train_flags(p):
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--warmup_steps", type=int, default=1000)
     p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--rewarmup_per_dataset", action="store_true",
+                   help="reset the LR warmup at every ann-data swap with "
+                        "the new file's size as decay horizon — the "
+                        "reference's default scheduler (run_ann.py:210-215)")
+    p.add_argument("--single_warmup", action="store_true",
+                   help="one global schedule for the whole run (reference "
+                        "--single_warmup, run_ann.py:174-178). This is "
+                        "already the default; the flag exists for "
+                        "reference-commandline parity and rejects being "
+                        "combined with --rewarmup_per_dataset")
     p.add_argument("--lr_style", default="linear", choices=["linear", "cosine"])
     p.add_argument("--per_device_train_batch_size", type=int, default=32)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
@@ -355,7 +385,8 @@ def cmd_train(args):
                         max_steps=args.max_steps,
                         save_every=args.save_steps, triples_fn=triples_fn,
                         host_id=host_id, num_hosts=num_hosts,
-                        batch_transform=batch_transform)
+                        batch_transform=batch_transform,
+                        rewarmup_per_dataset=args.rewarmup_per_dataset)
 
 
 def cmd_ance_loop(args):
@@ -385,6 +416,7 @@ def cmd_ance_loop(args):
         search_chunk_queries=args.search_chunk_queries,
         multichunk=spec.multichunk, shuffle_seed=args.seed,
         index_quantize=args.index_quantize,
+        rewarmup_per_dataset=args.rewarmup_per_dataset,
         checkpoint_dir=args.output_dir, save_every=args.save_steps,
         log_trust_ratios=args.log_trust_ratios,
         host_id=host_id, num_hosts=num_hosts)

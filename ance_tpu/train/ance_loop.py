@@ -182,7 +182,8 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     triples_fn: Callable = expand_triples,
                     metrics_logger=None,
                     host_id: int = 0, num_hosts: int = 1,
-                    batch_transform: Optional[Callable] = None) -> object:
+                    batch_transform: Optional[Callable] = None,
+                    rewarmup_per_dataset: bool = False) -> object:
     """Train forever, polling ``ann_dir`` for fresh data every ``poll_every``
     steps and checkpointing every ``save_every``
     (reference run_ann.py:180-334).
@@ -191,7 +192,12 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
     :func:`ance_tpu.data.feed.sample_one_neg_triples` for the DPR feed.
     On multi-host meshes pass this process's ``host_id``/``num_hosts`` (the
     feed stripes triples per host) and ``batch_transform`` assembling local
-    rows into global arrays (:func:`ance_tpu.core.mesh.shard_batch`)."""
+    rows into global arrays (:func:`ance_tpu.core.mesh.shard_batch`).
+
+    ``rewarmup_per_dataset``: reset the LR schedule at every ann-data swap
+    with the new file's line count as decay horizon — the reference's
+    default behavior without ``--single_warmup`` (run_ann.py:210-215);
+    requires the optimizer built with ``make_optimizer(..., rewarmup=...)``."""
     last_data_no = -1
     it = None
     step_count = int(jax.device_get(state.step))
@@ -207,6 +213,11 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     host_id=host_id, num_hosts=num_hosts)
                 it = infinite_batches(feed)
                 last_data_no = data_no
+                if rewarmup_per_dataset:
+                    from ance_tpu.optim.schedules import reset_rewarmup
+                    state = dataclasses.replace(
+                        state, opt_state=reset_rewarmup(
+                            state.opt_state, horizon=len(lines)))
                 logger.info("trainer: switched to ann data %s", data_no)
                 if metrics_logger is not None:
                     ndcg_json = get_latest_ann_data(ann_dir)[2] or {}

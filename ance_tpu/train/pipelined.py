@@ -74,6 +74,18 @@ class PipelineConfig:
                                           # full 8.8M MS MARCO corpus on one
                                           # v5e core); scales snapshot from
                                           # the first encoded slice
+    int8_clip_guard: float = 0.01      # mid-cycle guard: if a slice write
+                                       # clips more than this fraction of
+                                       # its entries, widen the cycle's
+                                       # scales immediately (see
+                                       # _encode_corpus_slice) — a sharp
+                                       # magnitude shift must not silently
+                                       # saturate the rest of the cycle
+    rewarmup_per_dataset: bool = False  # reset the LR schedule at every
+                                        # feed swap (reference default
+                                        # without --single_warmup,
+                                        # run_ann.py:210-215); needs
+                                        # make_optimizer(..., rewarmup=...)
     shuffle_seed: int = 42
     log_trust_ratios: bool = False     # LAMB trust-ratio stats per refresh
                                        # (reference lamb.py:11-22 log_lamb_rs)
@@ -189,8 +201,33 @@ class PipelinedAnce:
                 self._clip_count_fn = jax.jit(lambda e, s: jnp.sum(
                     (jnp.abs(e.astype(jnp.float32)) >
                      s[None, :] * 127.0).astype(jnp.float32)))
+            clipped = self._clip_count_fn(emb, self.index._scales)
+            # MID-CYCLE GUARD: a sharp distribution shift between slices
+            # must not saturate the index for the rest of the cycle. If
+            # this slice clips beyond the threshold, widen the scales NOW
+            # (monotonically — never shrink mid-cycle) before writing it.
+            # Rows written earlier this cycle then decode slightly shrunk
+            # against the wider scales — the same bounded one-cycle
+            # mis-scaling as the cross-cycle case, vs unbounded saturation
+            # without the guard.
+            if self.cfg.int8_clip_guard and float(jax.device_get(clipped)) \
+                    > self.cfg.int8_clip_guard * emb.size:
+                amax = jnp.max(jnp.abs(emb.astype(jnp.float32)), axis=0)
+                widened = jnp.maximum(
+                    jnp.maximum(amax * 1.5 / 127.0, 1e-8),
+                    self.index._scales)
+                self.index.set_scales(widened)
+                self._cyc["scale_widenings"] = \
+                    self._cyc.get("scale_widenings", 0) + 1
+                logger.warning(
+                    "int8 clip guard: slice at row %s clipped >%.1f%% of "
+                    "entries; widened per-dim scales mid-cycle (widening "
+                    "#%s this cycle)", start,
+                    100.0 * self.cfg.int8_clip_guard,
+                    self._cyc["scale_widenings"])
+                clipped = self._clip_count_fn(emb, self.index._scales)
             self._cyc.setdefault("clip_counts", []).append(
-                (self._clip_count_fn(emb, self.index._scales), emb.size))
+                (clipped, emb.size))
         self.index.update_slice(start * self._rows_per_record, emb)
 
     def _host_kwargs(self) -> dict:
@@ -217,7 +254,17 @@ class PipelinedAnce:
         dev_ids = self._cyc.pop("dev_ids", np.zeros((0,), np.int64))
         if not parts or len(dev_ids) == 0:
             # empty dev set: no search items ran; report zeros rather than
-            # kill the job at the first refresh boundary
+            # kill the job at the first refresh boundary — but say so LOUDLY
+            # once: at scale a broken dev feed would otherwise be
+            # indistinguishable from a catastrophically bad model in the
+            # metrics stream
+            if not getattr(self, "_warned_empty_dev", False):
+                self._warned_empty_dev = True
+                logger.warning(
+                    "dev metrics: ZERO dev queries reached the search items "
+                    "(dev-query cache empty or dev search produced nothing); "
+                    "dev_ndcg/dev_recall will report 0.0 — this is a broken "
+                    "dev feed, not a model score")
             self._cyc["dev_ndcg"] = self._cyc["dev_recall"] = 0.0
             self._cyc.pop("dev_emb", None)
             return
@@ -280,6 +327,15 @@ class PipelinedAnce:
                 seed=cfg.shuffle_seed + self.refresh_no,
                 host_id=cfg.host_id, num_hosts=cfg.num_hosts)
             self._batches = infinite_batches(feed)
+            if cfg.rewarmup_per_dataset:
+                # fresh LR warmup for the new dataset, horizon = its size
+                # (reference run_ann.py:210-215, num_training_steps =
+                # len(ann_training_data))
+                import dataclasses as _dc
+                from ance_tpu.optim.schedules import reset_rewarmup
+                self.state = _dc.replace(
+                    self.state, opt_state=reset_rewarmup(
+                        self.state.opt_state, horizon=len(triples)))
 
         entry = {"refresh": self.refresh_no,
                  "dev_ndcg": self._cyc.pop("dev_ndcg", 0.0),
@@ -295,6 +351,8 @@ class PipelinedAnce:
             clipped = float(np.sum(jax.device_get(
                 [c for c, _ in clip_counts])))
             entry["int8_clip_frac"] = clipped / sum(n for _, n in clip_counts)
+            entry["int8_scale_widenings"] = self._cyc.pop(
+                "scale_widenings", 0)
         if cfg.log_trust_ratios and hasattr(self.state, "opt_state"):
             from ance_tpu.optim.lamb import trust_ratio_summary
             summary = trust_ratio_summary(self.state.opt_state,

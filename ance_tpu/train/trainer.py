@@ -41,26 +41,48 @@ class TrainState:
 def make_optimizer(name: str = "lamb", learning_rate=1e-4,
                    eps: float = 1e-8, weight_decay: float = 0.0,
                    max_grad_norm: float = 1.0,
-                   no_decay_bias_ln: bool = True
+                   no_decay_bias_ln: bool = True,
+                   rewarmup: Optional[tuple] = None
                    ) -> optax.GradientTransformation:
     """Reference optimizer menu (run_ann.py:79-93): lamb | adamw, preceded by
     global-norm clipping (run_ann.py:280-284). Biases and LayerNorms skip
     weight decay by default (reference no_decay grouping,
-    dpr_utils.py:80-92 / run_ann.py:58-78)."""
+    dpr_utils.py:80-92 / run_ann.py:58-78).
+
+    ``rewarmup=(warmup_steps, initial_horizon)`` builds the per-dataset
+    RE-warmup schedule instead (the reference's default without
+    ``--single_warmup``, run_ann.py:210-215): ``learning_rate`` must then be
+    the float base lr; the inner optimizer runs at lr 1.0 and a trailing
+    ``scale_by_rewarmup`` applies the schedule — exactly equal scaling, but
+    with an anchor the trainer resets via ``optim.schedules.reset_rewarmup``
+    at every ann-data swap."""
     from ance_tpu.optim.lamb import bias_layernorm_no_decay_mask
     mask = bias_layernorm_no_decay_mask \
         if (no_decay_bias_ln and weight_decay) else None
+    inner_lr = learning_rate
+    if rewarmup is not None:
+        if callable(learning_rate):
+            raise ValueError("rewarmup needs a float base learning_rate "
+                             "(the schedule is owned by scale_by_rewarmup)")
+        inner_lr = 1.0
     if name.lower() == "lamb":
-        inner = reference_lamb(learning_rate, eps=eps,
+        inner = reference_lamb(inner_lr, eps=eps,
                                weight_decay=weight_decay, decay_mask=mask)
     elif name.lower() == "adamw":
-        inner = optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay,
+        inner = optax.adamw(inner_lr, eps=eps, weight_decay=weight_decay,
                             mask=mask)
     else:
         raise ValueError(f"optimizer {name} not recognized! lamb or adamw")
+    parts = []
     if max_grad_norm and max_grad_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
-    return inner
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
+    parts.append(inner)
+    if rewarmup is not None:
+        from ance_tpu.optim.schedules import scale_by_rewarmup
+        warmup_steps, initial_horizon = rewarmup
+        parts.append(scale_by_rewarmup(learning_rate, warmup_steps,
+                                       initial_horizon))
+    return optax.chain(*parts) if len(parts) > 1 else parts[0]
 
 
 def init_train_state(params, optimizer) -> TrainState:

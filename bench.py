@@ -1,5 +1,5 @@
 """Headline benchmark: corpus-encoding throughput on the real TPU chip,
-with measured MFU, train-step latency, and search QPS as extra fields.
+with measured MFU, search QPS (bf16 + int8), and train-step latency.
 
 ANCE's stated efficiency bottleneck is the encoding update, not ANN search
 (reference README.md:21-24), so the headline metric is passages encoded per
@@ -24,8 +24,15 @@ sampled N_SAMPLES times and reported as the MEDIAN with a [min, max]
 spread — a single unlucky sample must not masquerade as a regression
 (round-2 lesson: one-shot search QPS varied 2.9x between runs).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"spread", + extras with their own *_spread fields}.
+OUTPUT PROTOCOL (round-4 redesign; BENCH_r03 was zeroed by a driver
+timeout against the old all-or-nothing watchdog): every metric prints its
+OWN complete JSON line the moment it is measured, streamed through the
+watchdog as it arrives, and the FINAL line is the combined headline record.
+A timeout at any point therefore still leaves the last finished metric as
+the tail's last parseable line. The watchdog has a HARD overall deadline
+(DEADLINE_S, ~13 min worst case) well inside the driver's capture window —
+it never retries its way past the budget like the round-3 version did
+(6 x 1800 s ≈ 3.2 h worst case, bench.py@b106c98).
 """
 
 import json
@@ -43,6 +50,11 @@ BATCH = 128
 STEPS = 20
 N_SAMPLES = 5
 
+# watchdog budget: attempts fit inside a hard overall deadline
+DEADLINE_S = 780            # 13 min — comfortably inside the driver window
+INNER_TIMEOUT_S = 420       # one full run measured ~4-6 min incl. compiles
+RETRY_SLEEP_S = 20
+
 # bf16 peak matmul throughput by device kind (TF/s)
 PEAK_TFLOPS = {
     "TPU v4": 275.0,
@@ -59,6 +71,12 @@ def _materialize(x):
     alone returns before execution finishes."""
     import jax.numpy as jnp
     return float(jnp.sum(x))
+
+
+def _emit(record: dict) -> None:
+    """One self-contained JSON line per measured metric, flushed
+    immediately so a later timeout cannot erase it."""
+    print(json.dumps(record), flush=True)
 
 
 def sample(timed_once, n=N_SAMPLES):
@@ -180,12 +198,19 @@ def bench_train_step(jax, jnp, on_tpu):
 
 
 def bench_search(jax, jnp, on_tpu):
-    """Exact top-k over the corpus (bf16 index, fused blockmax on TPU).
+    """Exact top-k over the corpus (fused blockmax kernel on TPU).
 
     Query batch 2048: per-call dispatch (tunneled on the remote chip) is a
     fixed cost, so larger batches measure the device, not the wire — the
     measured knee (docs/perf_sweep_train.py): q=512 → 8.0k qps,
-    q=2048 → 24.7k qps on v5e."""
+    q=2048 → 24.7k qps on v5e.
+
+    The int8 variant is the production at-scale STORAGE format (per-dim
+    quantize='dims'; the full 8.8M MS MARCO corpus only fits one v5e core
+    as int8, DESIGN.md §4.1). On TPU it takes the same fused blockmax path
+    with the per-dim scales folded into the query; the compute rate depends
+    on the kernel's int8 handling (ops/topk.py), so this measures the
+    storage format's end-to-end search cost, not a claimed bandwidth win."""
     from ance_tpu.index.flat import FlatIPIndex
 
     n, d, q, k = (1_000_000, 768, 2048, 10) if on_tpu else (20_000, 128, 64, 10)
@@ -207,13 +232,13 @@ def bench_search(jax, jnp, on_tpu):
         return q * reps / (time.perf_counter() - t0)  # qps
 
     med, lo, hi = sample(once, N_SAMPLES if on_tpu else 2)
+    _emit({"metric": "search_qps", "value": round(med, 1), "unit": "qps",
+           "spread": _spread(lo, hi), "corpus": n, "k": k})
 
-    # int8 variant on the same corpus/queries: quantize='dims' halves the
-    # HBM bytes the scan reads (the production at-scale storage — the full
-    # 8.8M MS MARCO corpus only fits one v5e core as int8, DESIGN.md §4.1).
+    # int8 storage variant on the same corpus/queries (storage dtype is
+    # forced to int8 by quantize='dims'; no dtype arg — it would be dead)
     del index
-    index8 = FlatIPIndex(dim=d, quantize="dims",
-                         dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    index8 = FlatIPIndex(dim=d, quantize="dims")
     index8.add(corpus)
     s, _ = index8.search(queries, k=k)
     _materialize(s)  # compile
@@ -227,6 +252,8 @@ def bench_search(jax, jnp, on_tpu):
         return q * reps / (time.perf_counter() - t0)
 
     med8, lo8, hi8 = sample(once8, N_SAMPLES if on_tpu else 2)
+    _emit({"metric": "search_qps_int8", "value": round(med8, 1),
+           "unit": "qps", "spread": _spread(lo8, hi8), "corpus": n, "k": k})
     return (med, lo, hi), (med8, lo8, hi8), n
 
 
@@ -241,15 +268,32 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform not in ("cpu",)
     kind = getattr(dev, "device_kind", "unknown")
+    _emit({"metric": "device", "value": kind, "unit": "device_kind"})
 
+    # ordered so the most important metrics land first: a mid-run timeout
+    # still certifies the headline + search before the heavier train compile
     pps, pps_lo, pps_hi = bench_encode(jax, jnp, on_tpu)
-    maxp_dps, maxp_lo, maxp_hi = bench_maxp_encode(jax, jnp, on_tpu)
-    (train_ms, tr_lo, tr_hi), train_b = bench_train_step(jax, jnp, on_tpu)
+    peak = PEAK_TFLOPS.get(kind)
+    tflops = pps * GFLOP_PER_PASSAGE / 1000.0
+    _emit({"metric": "firstp_encode_throughput", "value": round(pps, 1),
+           "unit": "passages/sec",
+           "vs_baseline": round(pps / BASELINE_PASSAGES_PER_SEC, 3),
+           "spread": _spread(pps_lo, pps_hi),
+           "encode_tflops": round(tflops, 1),
+           "encode_mfu": round(tflops / peak, 3) if peak else None})
+
     (search_qps, s_lo, s_hi), (q8, q8_lo, q8_hi), corpus_n = bench_search(
         jax, jnp, on_tpu)
 
-    peak = PEAK_TFLOPS.get(kind)
-    tflops = pps * GFLOP_PER_PASSAGE / 1000.0
+    maxp_dps, maxp_lo, maxp_hi = bench_maxp_encode(jax, jnp, on_tpu)
+    _emit({"metric": "maxp_docs_per_sec", "value": round(maxp_dps, 1),
+           "unit": "docs/sec", "spread": _spread(maxp_lo, maxp_hi)})
+
+    (train_ms, tr_lo, tr_hi), train_b = bench_train_step(jax, jnp, on_tpu)
+    _emit({"metric": "train_step_ms", "value": round(train_ms, 1),
+           "unit": "ms/step", "spread": _spread(tr_lo, tr_hi),
+           "batch": train_b})
+
     out = {
         "metric": "firstp_encode_throughput",
         "value": round(pps, 1),
@@ -271,40 +315,65 @@ def main():
         "search_qps_int8_spread": _spread(q8_lo, q8_hi),
         "search_corpus": corpus_n,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 def _run_with_retries():
-    """Watchdog: the tunneled TPU backend sometimes hangs or throws
-    UNAVAILABLE at init for minutes-to-hours when another session holds the
-    chip (observed 2026-08-17: 2.5 h jam, then init errors). The benchmark
-    itself can't recover once jax binds a dead backend, so run it in a
-    subprocess with a timeout and retry — one flaky window must not zero a
-    round's benchmark."""
+    """Watchdog with a HARD overall deadline. The tunneled TPU backend
+    sometimes hangs or throws UNAVAILABLE at init when another session
+    holds the chip; the benchmark can't recover once jax binds a dead
+    backend, so the inner run lives in a subprocess with a timeout. Unlike
+    the round-3 version (which retried for up to 3.2 h and captured output
+    only after a COMPLETE run — BENCH_r03 died empty at the driver's
+    timeout), this one (a) streams every inner line through as it is
+    printed, so partial runs still certify their finished metrics, and
+    (b) never starts an attempt that couldn't finish by DEADLINE_S."""
     import os
     import subprocess
     import sys
 
-    attempts, timeout_s, sleep_s = 6, 1800, 120
+    t_start = time.monotonic()
     env = dict(os.environ, ANCE_BENCH_INNER="1")
-    for i in range(attempts):
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = DEADLINE_S - (time.monotonic() - t_start)
+        if remaining < 60:
+            raise SystemExit(
+                f"bench: overall deadline ({DEADLINE_S}s) exhausted after "
+                f"{attempt - 1} attempts")
+        budget = min(INNER_TIMEOUT_S, remaining)
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True,
+                                bufsize=1)
+        t_attempt = time.monotonic()
+        emitted = False
         try:
-            res = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=timeout_s)
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                if line.startswith("{"):
+                    print(line, flush=True)  # stream metrics as they land
+                    emitted = True
+                if time.monotonic() - t_attempt > budget:
+                    proc.kill()
+                    break
+            rc = proc.wait(timeout=max(5.0, budget -
+                                       (time.monotonic() - t_attempt)))
         except subprocess.TimeoutExpired:
-            print(f"bench attempt {i + 1}/{attempts}: timed out after "
-                  f"{timeout_s}s (chip likely held by another session)",
-                  file=sys.stderr)
-            continue
-        if res.returncode == 0 and res.stdout.strip():
-            print(res.stdout.strip().splitlines()[-1])
+            proc.kill()
+            rc = -9
+        if rc == 0:
             return
-        print(f"bench attempt {i + 1}/{attempts}: rc={res.returncode}\n"
-              f"{res.stderr.strip().splitlines()[-1] if res.stderr.strip() else ''}",
+        print(f"bench attempt {attempt}: rc={rc} after "
+              f"{time.monotonic() - t_attempt:.0f}s"
+              + (" (partial metrics already emitted)" if emitted else ""),
               file=sys.stderr)
-        time.sleep(sleep_s)
-    raise SystemExit("bench: all attempts failed (TPU unavailable)")
+        if emitted:
+            # partial metrics are on stdout; retrying from scratch would
+            # burn the remaining budget re-measuring what already printed
+            raise SystemExit("bench: partial run emitted; not retrying")
+        time.sleep(RETRY_SLEEP_S)
 
 
 if __name__ == "__main__":

@@ -158,3 +158,85 @@ def test_warmup_cosine_schedule():
     np.testing.assert_allclose(float(s(10)), 2.0, atol=1e-6)
     np.testing.assert_allclose(float(s(60)), 1.0, atol=1e-5)  # cos midpoint
     np.testing.assert_allclose(float(s(110)), 0.0, atol=1e-6)
+
+
+def _hf_linear_lambda(step, warmup, total):
+    """HF get_linear_schedule_with_warmup's lr factor (what the reference
+    rebuilds per ann-data file, run_ann.py:210-215)."""
+    if step < warmup:
+        return step / max(1, warmup)
+    return max(0.0, (total - step) / max(1, total - warmup))
+
+
+def test_rewarmup_matches_reference_lambda_shape():
+    """scale_by_rewarmup's lr trace IS the HF scheduler lambda, and
+    reset_rewarmup restarts it with the new horizon (reference run_ann.py
+    210-215: fresh scheduler per dataset with num_training_steps =
+    len(ann_training_data))."""
+    from ance_tpu.optim.schedules import (
+        reset_rewarmup, scale_by_rewarmup)
+
+    base, warmup, h1, h2 = 2.0, 4, 20, 12
+    tx = scale_by_rewarmup(base, warmup, initial_horizon=h1)
+    params = {"w": jnp.ones((3,))}
+    ones = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+
+    trace = []
+    for _ in range(8):
+        scaled, state = tx.update(ones, state, params)
+        trace.append(float(scaled["w"][0]))  # update == lr since input is 1
+    want = [base * _hf_linear_lambda(s, warmup, h1) for s in range(8)]
+    np.testing.assert_allclose(trace, want, rtol=1e-6)
+
+    # dataset swap: anchor at the current step, new horizon
+    state = reset_rewarmup(state, horizon=h2)
+    trace2 = []
+    for _ in range(h2 + 2):
+        scaled, state = tx.update(ones, state, params)
+        trace2.append(float(scaled["w"][0]))
+    want2 = [base * _hf_linear_lambda(s, warmup, h2)
+             for s in range(h2 + 2)]
+    np.testing.assert_allclose(trace2, want2, rtol=1e-6)
+    assert trace2[0] == 0.0          # the re-warmup actually restarted
+    assert trace2[h2] == 0.0         # and decays to zero at the new horizon
+
+
+@pytest.mark.parametrize("name", ["lamb", "adamw"])
+def test_rewarmup_optimizer_equals_inline_schedule(name):
+    """make_optimizer(rewarmup=...) must trace EXACTLY the same params as
+    the same linear schedule passed inside the optimizer — post-scaling by
+    the scalar lr commutes with LAMB's trust ratio and AdamW's decay."""
+    from ance_tpu.train.trainer import make_optimizer
+
+    rs = np.random.RandomState(3)
+    params = {"w": jnp.asarray(rs.randn(4, 4), jnp.float32),
+              "b": jnp.asarray(rs.randn(4), jnp.float32)}
+    base, warmup, total = 1e-2, 3, 50
+    opt_a = make_optimizer(name, warmup_linear(base, warmup, total),
+                           weight_decay=0.01)
+    opt_b = make_optimizer(name, base, weight_decay=0.01,
+                           rewarmup=(warmup, total))
+    pa, pb = params, params
+    sa, sb = opt_a.init(pa), opt_b.init(pb)
+    import optax
+    for i in range(7):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(rs.randn(*p.shape), jnp.float32), params)
+        ua, sa = opt_a.update(g, sa, pa)
+        ub, sb = opt_b.update(g, sb, pb)
+        pa = optax.apply_updates(pa, ua)
+        pb = optax.apply_updates(pb, ub)
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_reset_rewarmup_requires_rewarmup_optimizer():
+    from ance_tpu.optim.schedules import reset_rewarmup
+    from ance_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.ones((2,))}
+    plain = make_optimizer("lamb", warmup_linear(1e-3, 2, 10))
+    with pytest.raises(ValueError, match="no RewarmupState"):
+        reset_rewarmup(plain.init(params), horizon=5)

@@ -136,3 +136,67 @@ def test_resume_train_state_restores_optimizer(tmp_path):
     # no checkpoint → unchanged
     same, step0 = resume_train_state(str(tmp_path / "none"), fresh)
     assert step0 == 0
+
+
+def test_trainer_job_rewarmup_resets_on_swap(tmp_path):
+    """--rewarmup_per_dataset parity (reference run_ann.py:210-215): the LR
+    schedule re-anchors at every ann-data swap with the new file's line
+    count as decay horizon; without the flag one global schedule persists
+    (reference --single_warmup, run_ann.py:174-178)."""
+    from ance_tpu.optim.schedules import (
+        find_rewarmup_state, rewarmup_current_lr)
+    from ance_tpu.train.ann_gen import write_ann_data
+
+    paths, train_qrels, _ = _build_corpus(tmp_path)
+    cfg = EncoderConfig(vocab_size=VOCAB, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=32, pad_token_id=1,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaDot(cfg, out_dim=8)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, QLEN), jnp.int32),
+        jnp.ones((2, QLEN), jnp.int32))["params"]
+    base, warmup = 1e-3, 8
+    opt = make_optimizer("lamb", base, rewarmup=(warmup, 1000))
+    state = init_train_state(params, opt)
+    step = make_train_step(triplet_loss_fn(model), opt)
+    positives = {q: next(iter(r)) for q, r in train_qrels.items()}
+    ann_dir, training_dir = str(tmp_path / "ann"), str(tmp_path / "train")
+    caches = {n: TokenCache(paths[n]).open()
+              for n in ("passages", "train-query")}
+
+    def run(max_steps, st):
+        return run_trainer_job(
+            AnceCycleConfig(batch_size=8, shuffle_seed=1), state=st,
+            train_step=step, rng=jax.random.PRNGKey(2),
+            params_of=lambda s: s.params,
+            query_cache=caches["train-query"],
+            passage_cache=caches["passages"], ann_dir=ann_dir,
+            training_dir=training_dir, max_steps=max_steps, poll_every=2,
+            save_every=100, poll_interval=0.0, rewarmup_per_dataset=True)
+
+    # dataset 0: 10 queries x 2 negatives → 10 lines
+    negs0 = {q: [int(q + 16) % 64, int(q + 17) % 64] for q in range(10)}
+    data0, _ = write_ann_data(ann_dir, 0, np.arange(10), positives, negs0,
+                              0.1, "ck0")
+    lines0 = len(open(data0).read().splitlines())
+    state = run(5, state)
+    rw = find_rewarmup_state(state.opt_state)
+    assert int(rw.count) == 5 and int(rw.anchor) == 0
+    assert float(rw.horizon) == lines0
+    np.testing.assert_allclose(
+        rewarmup_current_lr(state.opt_state, base, warmup),
+        base * 5 / warmup, rtol=1e-6)  # mid-warmup of dataset 0
+
+    # dataset 1 lands: swap at step 5 re-anchors and re-warms from zero
+    negs1 = {q: [int(q + 20) % 64] for q in range(24)}
+    data1, _ = write_ann_data(ann_dir, 1, np.arange(24), positives, negs1,
+                              0.2, "ck1")
+    lines1 = len(open(data1).read().splitlines())
+    state = run(9, state)
+    rw = find_rewarmup_state(state.opt_state)
+    assert int(rw.count) == 9 and int(rw.anchor) == 5
+    assert float(rw.horizon) == lines1
+    np.testing.assert_allclose(
+        rewarmup_current_lr(state.opt_state, base, warmup),
+        base * (9 - 5) / warmup, rtol=1e-6)  # re-warming on dataset 1
