@@ -51,13 +51,21 @@ def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
     reshapes that keep the minor (lane) dimension intact, so the scores are
     computed corpus-major ([CHUNK, Q]) and the caller transposes the final
     [N/BS, Q] block-max matrix once in XLA.
+
+    Operand dtypes set the MXU rate: both int8 → native int8 multiply with
+    int32 accumulation (2x the bf16 MXU rate on v5e+, and the int8 corpus
+    tile is never widened in VMEM); an int8 corpus with a float query is
+    upcast to the query dtype (bf16 queries keep the bf16 MXU rate — fp32
+    queries would drop phase 1 to the fp32 rate).
     """
     q = q_ref[...]
     c = c_ref[...]
-    if c.dtype != q.dtype:  # int8-quantized corpus: upcast in VMEM
-        c = c.astype(q.dtype)
+    acc = jnp.int32 if (c.dtype == jnp.int8 and q.dtype == jnp.int8) \
+        else jnp.float32
+    if c.dtype != q.dtype and acc != jnp.int32:
+        c = c.astype(q.dtype)  # int8 corpus, float query: upcast in VMEM
     s = jax.lax.dot_general(c, q, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [CHUNK, Q]
+                            preferred_element_type=acc)  # [CHUNK, Q]
     chunk, Q = s.shape
     r = s.reshape(chunk // block_size, block_size, Q)
     o_ref[...] = jnp.max(r, axis=1)
@@ -69,7 +77,9 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
                     block_size: int = 16, chunk_rows: int = 1024,
                     q_block: int = 0,
                     interpret: bool = False) -> jax.Array:
-    """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size].
+    """[Q, D] × [N, D] → per-block score maxima [Q, N/block_size]
+    (int32 when both operands are int8 — the native int8 MXU path —
+    fp32 otherwise).
 
     N must be a multiple of chunk_rows, chunk_rows of block_size (pad
     upstream; padded rows should be zero vectors — their score 0 may only
@@ -92,6 +102,8 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
     n_qt = Q // q_block
     blocks_per_chunk = chunk_rows // block_size
 
+    out_dtype = jnp.int32 if (corpus.dtype == jnp.int8 and
+                              queries.dtype == jnp.int8) else jnp.float32
     kernel = functools.partial(_blockmax_kernel, block_size=block_size)
     bm_t = pl.pallas_call(
         kernel,
@@ -105,7 +117,7 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
         out_specs=pl.BlockSpec((blocks_per_chunk, q_block),
                                lambda ci, qi: (ci, qi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N // block_size, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N // block_size, Q), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -120,16 +132,34 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
 
 @functools.partial(jax.jit, static_argnames=("k", "block_size", "chunk_rows",
                                              "q_tile", "q_block",
-                                             "interpret"))
+                                             "phase1_dtype", "interpret"))
 def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
                   block_size: int = 16, chunk_rows: int = 1024,
                   q_tile: int = 64, q_block: int = 0,
+                  phase1_dtype=None,
                   interpret: bool = False,
                   valid_rows=None):
     """Exact top-k inner product via the block-max bound.
 
     Returns (scores [Q, k] fp32, ids [Q, k] int32). Corpus rows ≥
     ``valid_rows`` are treated as padding (excluded).
+
+    ``phase1_dtype`` (int8 corpora only) sets the QUERY dtype of the
+    phase-1 block-max matmul — the MXU rate lever:
+      * None (default): queries pass through at their own dtype (fp32 from
+        the quantized index path → fp32 MXU rate, the round-3 behavior);
+      * ``jnp.bfloat16``: phase 1 runs at the bf16 MXU rate;
+      * ``jnp.int8``: queries are symmetric-quantized PER ROW on the fly
+        and phase 1 runs the native int8 multiply with int32 accumulation
+        (2x bf16 peak on v5e+). A per-query positive scale never reorders
+        that query's blocks, so candidate selection is unaffected by the
+        per-row scales and phase 3 still rescores candidates exactly in
+        fp32 from the ORIGINAL queries.
+    With a reduced-precision phase 1 the top-k remains exact as long as no
+    true top-k row's block falls below the k-th block under the quantized
+    maxima — the same (empirically robust) near-tie caveat the bf16-corpus
+    path already carries; phase 3 exactness is unconditional over the
+    selected candidates.
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -142,9 +172,19 @@ def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
     padded_q = -(-Q // q_tile) * q_tile
     queries_p = jnp.pad(queries, ((0, padded_q - Q), (0, 0)))
 
-    # int8 corpora keep fp/bf16 queries (the kernel upcasts the corpus tile)
-    qf = queries_p if corpus.dtype == jnp.int8 \
-        else queries_p.astype(corpus.dtype)
+    if corpus.dtype == jnp.int8:
+        if phase1_dtype == jnp.int8:
+            # per-row symmetric int8 query quantization (monotone per query)
+            qmax = jnp.maximum(jnp.max(jnp.abs(queries_p), axis=1,
+                                       keepdims=True), 1e-12)
+            qf = jnp.clip(jnp.round(queries_p * (127.0 / qmax)),
+                          -127, 127).astype(jnp.int8)
+        elif phase1_dtype is not None:
+            qf = queries_p.astype(phase1_dtype)
+        else:
+            qf = queries_p  # legacy: kernel upcasts corpus to query dtype
+    else:
+        qf = queries_p.astype(corpus.dtype)
     qb = q_block if q_block and padded_q % q_block == 0 else 0
     bm = blockmax_scores(qf, corpus_p, block_size=block_size,
                          chunk_rows=chunk_rows, q_block=qb,
@@ -152,7 +192,8 @@ def topk_blockmax(queries: jax.Array, corpus: jax.Array, *, k: int,
     n_blocks = padded_n // block_size
     block_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_blocks), 1)
     block_valid = block_ids * block_size < valid_rows
-    bm = jnp.where(block_valid, bm, NEG_INF)
+    neg = jnp.iinfo(jnp.int32).min if bm.dtype == jnp.int32 else NEG_INF
+    bm = jnp.where(block_valid, bm, neg)
 
     k_blocks = min(k, n_blocks)
     _, top_blocks = jax.lax.top_k(bm, k_blocks)      # [Qp, k_blocks]

@@ -17,6 +17,39 @@ import numpy as np
 from ance_tpu.index.flat import FlatIPIndex
 
 
+def dedup_first_hit(scores: np.ndarray, rows: np.ndarray,
+                    embedding2id: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-vector rows → unique passage ids, first (highest-scoring) hit
+    per passage, padded with −1 / −inf. Fully vectorized: the previous
+    per-row Python loop was O(B·depth) interpreted work per call — fine at
+    batch 64, a real tax on the serving hot path at the index's qps.
+
+    ``rows`` is [B, depth] descending by score within each row (the
+    index's output order); duplicates of a passage id keep the earliest
+    column. Same contract as the reference's rank-time dedup
+    (run_ann_data_gen.py:416-423 dedup-by-docid)."""
+    B, depth = rows.shape
+    pids = np.where(rows >= 0, embedding2id[np.maximum(rows, 0)], -1)
+    # stable sort by pid per row: equal pids keep column order, so the
+    # first element of each equal-pid run is the best-scoring hit
+    order = np.argsort(pids, axis=1, kind="stable")
+    sorted_pids = np.take_along_axis(pids, order, axis=1)
+    first = np.ones_like(sorted_pids, dtype=bool)
+    first[:, 1:] = sorted_pids[:, 1:] != sorted_pids[:, :-1]
+    keep_sorted = first & (sorted_pids >= 0)
+    keep = np.zeros_like(keep_sorted)
+    np.put_along_axis(keep, order, keep_sorted, axis=1)   # back in col order
+    rank = np.cumsum(keep, axis=1) - 1                    # 0-based per row
+    sel = keep & (rank < k)
+    b_idx, _ = np.nonzero(sel)
+    out_ids = np.full((B, k), -1, np.int64)
+    out_scores = np.full((B, k), -np.inf, np.float32)
+    out_ids[b_idx, rank[sel]] = pids[sel]
+    out_scores[b_idx, rank[sel]] = scores[sel]
+    return out_scores, out_ids
+
+
 class Retriever:
     """query texts/tokens → (scores, passage ids).
 
@@ -60,24 +93,7 @@ class Retriever:
         scores, rows = np.asarray(scores), np.asarray(rows)
         if self.embedding2id is None:
             return scores[:, :k], rows[:, :k]
-        out_ids = np.full((rows.shape[0], k), -1, np.int64)
-        out_scores = np.full((rows.shape[0], k), -np.inf, np.float32)
-        for b in range(rows.shape[0]):
-            seen: set[int] = set()
-            j = 0
-            for col, r in enumerate(rows[b]):
-                if r < 0:
-                    continue
-                pid = int(self.embedding2id[r])
-                if pid in seen:
-                    continue
-                seen.add(pid)
-                out_ids[b, j] = pid
-                out_scores[b, j] = scores[b, col]
-                j += 1
-                if j >= k:
-                    break
-        return out_scores, out_ids
+        return dedup_first_hit(scores, rows, self.embedding2id, k)
 
     def search(self, queries: Sequence[str], k: int = 10
                ) -> tuple[np.ndarray, np.ndarray]:

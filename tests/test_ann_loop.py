@@ -210,6 +210,7 @@ def test_async_checkpointer(tmp_path):
                                   np.asarray(params["w"]))
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_generate_new_ann_multichunk(tmp_path):
     """MaxP generation: multi-vector rows flatten with repeated ids; mining
     and dev eval dedup by passage id (reference run_ann_data_gen.py:182-189,

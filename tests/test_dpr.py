@@ -196,6 +196,7 @@ def test_dpr_inbatch_training_learns(tmp_path):
         assert nll >= 0.0 and 0.0 <= ratio <= 1.0
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_evaluate_dev_is_deterministic(tmp_path):
     """ADVICE r1 (medium): dev eval ran with dropout ON. With dropout in the
     config, repeated evals must now agree exactly, and differ from the
@@ -328,6 +329,7 @@ def test_dpr_accum_equals_full_batch():
             err_msg=jax.tree_util.keystr(path_a))
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_dpr_accum_differs_from_per_microbatch_softmax():
     """The thing the two-phase step must NOT do: averaging per-microbatch
     in-batch losses (each softmax over 2b contexts instead of 2B) gives a

@@ -59,6 +59,7 @@ def _np_head(params, cls):
         np.asarray(params["norm"]["scale"]) + np.asarray(params["norm"]["bias"])
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_roberta_forward_parity():
     hf, cfg = _small_roberta()
     ids, mask = _batch(pad_id=1, vocab=100)
@@ -260,6 +261,7 @@ def test_biencoder_towers_independent():
     assert not np.allclose(np.asarray(qe), np.asarray(be))
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_remat_encoder_matches_and_trains():
     """remat=True must be numerically identical in fwd and produce matching
     gradients (activation recompute, not a different model)."""
@@ -311,6 +313,7 @@ def test_fused_qkv_identical_tree_and_outputs():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_bf16_fast_path_within_bf16_noise():
     """The bf16 auto defaults (tanh gelu + bf16 softmax, measured +28%
     encode on v5e) must stay within the noise band bf16 itself introduces:

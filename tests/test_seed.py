@@ -67,6 +67,7 @@ def test_seeddot_model_embeds():
     np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2))
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_seed_mlm_forward_and_bottleneck():
     ecfg = seed_encoder_config(vocab_size=100, hidden_size=32, num_layers=2,
                                num_heads=4, intermediate_size=64,
@@ -108,6 +109,7 @@ def test_seed_mlm_forward_and_bottleneck():
     assert np.abs(np.asarray(dec3) - np.asarray(dec)).max() > 1e-6
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_registry_covers_reference_model_zoo():
     """All four reference MSMarcoConfigDict entries exist
     (reference models.py:299-322)."""
@@ -153,6 +155,7 @@ def test_seed_pretrain_loss():
 
 
 @pytest.mark.parametrize("window", [2, 8])
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_incremental_decode_matches_full_forward(window):
     """Step-by-step KV-cache decoding reproduces the teacher-forced
     full-sequence decoder logits exactly (the parity the reference's
@@ -191,6 +194,7 @@ def test_incremental_decode_matches_full_forward(window):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_greedy_decode_jits_and_is_deterministic():
     from ance_tpu.models.seed import greedy_decode
 

@@ -212,6 +212,7 @@ def test_seeddot_import_golden_parity():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_seed_mlm_import_golden_parity():
     from ance_tpu.models.seed import SeedDecoderConfig, SeedForMaskedLM
     rs = np.random.RandomState(1)

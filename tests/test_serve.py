@@ -59,3 +59,42 @@ def test_search_with_tokenizer():
                   max_query_length=4)
     _, pids = r.search(["a cat", "a dog"], k=1)
     assert pids[0, 0] == 3 and pids[1, 0] == 5
+
+
+def test_dedup_first_hit_matches_reference_loop():
+    """The vectorized dedup must equal a straightforward per-row loop
+    (the pre-round-4 implementation) on adversarial input: duplicates,
+    -1 padding rows, rows with fewer than k unique pids."""
+    from ance_tpu.serve import dedup_first_hit
+
+    rs = np.random.RandomState(11)
+    B, depth, k, n_emb = 17, 40, 10, 30
+    embedding2id = rs.randint(0, 8, n_emb).astype(np.int64)  # heavy dups
+    rows = rs.randint(-1, n_emb, (B, depth)).astype(np.int32)
+    rows[3] = -1                      # all-padding row
+    rows[5, ::2] = rows[5, 1]         # extra duplication
+    scores = -np.sort(-rs.randn(B, depth).astype(np.float32), axis=1)
+
+    def loop_reference(scores, rows, e2id, k):
+        out_ids = np.full((rows.shape[0], k), -1, np.int64)
+        out_scores = np.full((rows.shape[0], k), -np.inf, np.float32)
+        for b in range(rows.shape[0]):
+            seen, j = set(), 0
+            for col, r in enumerate(rows[b]):
+                if r < 0:
+                    continue
+                pid = int(e2id[r])
+                if pid in seen:
+                    continue
+                seen.add(pid)
+                out_ids[b, j] = pid
+                out_scores[b, j] = scores[b, col]
+                j += 1
+                if j >= k:
+                    break
+        return out_scores, out_ids
+
+    want_s, want_i = loop_reference(scores, rows, embedding2id, k)
+    got_s, got_i = dedup_first_hit(scores, rows, embedding2id, k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_array_equal(got_s, want_s)

@@ -64,3 +64,43 @@ def test_topk_blockmax_k_exceeds_candidates():
                          chunk_rows=16, q_tile=8, interpret=True)
     ref_s, ref_i = _np_topk(q, c, 12)
     np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+@pytest.mark.parametrize("p1", [None, "bf16", "int8"])
+def test_topk_blockmax_int8_corpus_phase1_variants(p1):
+    """int8-quantized corpus through every phase-1 dtype variant (the MXU
+    rate lever, VERDICT r3 #4): candidate blocks may be selected at reduced
+    precision, but phase 3 rescores in fp32 — on well-separated data all
+    variants return the exact top-k of the dequantized int8 corpus."""
+    from ance_tpu.index.flat import quantize_dims_int8
+
+    rs = np.random.RandomState(4)
+    Q, N, D, k = 13, 256, 16, 10
+    q = rs.randn(Q, D).astype(np.float32)
+    c = rs.randn(N, D).astype(np.float32)
+    c8, scales = quantize_dims_int8(jnp.asarray(c))
+    qs = q * np.asarray(scales)[None, :]  # dim scales fold into the query
+    dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8, None: None}[p1]
+    s, i = topk_blockmax(jnp.asarray(qs), c8, k=k, block_size=8,
+                         chunk_rows=64, q_tile=8, phase1_dtype=dtype,
+                         interpret=True,
+                         valid_rows=jnp.asarray(N, jnp.int32))
+    # ground truth: exact search over the DEQUANTIZED int8 corpus
+    ref_s, ref_i = _np_topk(qs, np.asarray(c8, np.float32), k)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-4, atol=1e-4)
+
+
+def test_blockmax_scores_int8_native():
+    """int8 x int8 operands → int32 block maxima (the native MXU path);
+    values must equal the integer matmul exactly."""
+    rs = np.random.RandomState(5)
+    Q, N, D, BS, CHUNK = 8, 256, 16, 8, 64
+    q = rs.randint(-127, 128, (Q, D)).astype(np.int8)
+    c = rs.randint(-127, 128, (N, D)).astype(np.int8)
+    bm = blockmax_scores(jnp.asarray(q), jnp.asarray(c), block_size=BS,
+                         chunk_rows=CHUNK, interpret=True)
+    assert bm.dtype == jnp.int32
+    ref = (q.astype(np.int32) @ c.astype(np.int32).T
+           ).reshape(Q, N // BS, BS).max(-1)
+    np.testing.assert_array_equal(np.asarray(bm), ref)

@@ -57,6 +57,7 @@ def test_param_specs_cover_the_megatron_layout():
     assert flat[ok.replace("kernel", "bias")] == P()
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_tp_encode_matches_replicated():
     """dp=2 x tp=4 sharded forward == single-device forward (fp32)."""
     cfg = _tiny()
@@ -82,6 +83,7 @@ def test_tp_encode_matches_replicated():
     assert shard_shapes == {(32, 8)}
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_tp_train_step_matches_dp():
     """One optimizer step with TP-sharded params == the replicated step."""
     import optax

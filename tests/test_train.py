@@ -136,6 +136,7 @@ def test_grad_accum_matches_full_batch(tmp_path):
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_fused_body_matches_three_pass(tmp_path):
     """fused pos+neg body pass (one [2B, S] encode) equals the reference's
     separate passes exactly when dropout is off — every encoder op is

@@ -101,6 +101,7 @@ def test_two_job_handoff(tmp_path):
     assert meta["checkpoint"].endswith("checkpoint-6")
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_resume_train_state_restores_optimizer(tmp_path):
     from ance_tpu.train.ance_loop import resume_train_state
     from ance_tpu.train.trainer import (
@@ -138,6 +139,7 @@ def test_resume_train_state_restores_optimizer(tmp_path):
     assert step0 == 0
 
 
+@pytest.mark.slow  # parity/e2e tier: fast tier must stay <4 min (r4)
 def test_trainer_job_rewarmup_resets_on_swap(tmp_path):
     """--rewarmup_per_dataset parity (reference run_ann.py:210-215): the LR
     schedule re-anchors at every ann-data swap with the new file's line
