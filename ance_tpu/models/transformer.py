@@ -57,6 +57,17 @@ class EncoderConfig:
                                       # three times (HBM win); parameter tree
                                       # is unchanged (kernels concatenated at
                                       # apply time), so checkpoints interop
+    layerdrop_rate: float = 0.0       # LayerDrop (fairseq modules.py:103-135):
+                                      # each layer is skipped whole-batch with
+                                      # this probability per training step; no
+                                      # rescale of survivors, eval runs all
+                                      # layers. Dormant in every shipped SEED
+                                      # config, present for fairseq parity.
+    quant_noise_p: float = 0.0        # Quant-Noise block DropConnect on the
+    quant_noise_block: int = 8        # attention projection kernels during
+                                      # training (reference modules.py:439-443,
+                                      # 1631-1711); dormant (q_noise=0) in all
+                                      # shipped configs. See ops/quant_noise.py.
     gelu_approx: Optional[bool] = None  # tanh-approximate gelu vs the exact
                                       # erf one HF uses. None = AUTO: tanh
                                       # iff compute dtype is bf16 — the
@@ -152,11 +163,24 @@ class SelfAttention(nn.Module):
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         B, S, _ = x.shape
         H, D = cfg.num_heads, cfg.head_dim()
+        # Quant-Noise perturbs kernels directly, so its training path reads
+        # weights through ProjParams (same parameter tree as nn.Dense —
+        # checkpoints interop; eval takes the plain Dense path untouched)
+        noisy = cfg.quant_noise_p > 0.0 and not deterministic
+        if noisy:
+            from ance_tpu.ops.quant_noise import quant_noise
+            qn_keys = jax.random.split(self.make_rng("dropout"), 4)
 
-        if cfg.fused_qkv:
+            def qn(i, kernel):
+                return quant_noise(qn_keys[i], kernel, cfg.quant_noise_p,
+                                   cfg.quant_noise_block)
+
+        if cfg.fused_qkv or noisy:
             ps = [ProjParams(cfg.hidden_size, cfg.hidden_size, init, name=n)
                   for n in ("query", "key", "value")]
-            w = jnp.concatenate([p.kernel for p in ps], 1).astype(cfg.dtype)
+            kernels = [qn(i, p.kernel) for i, p in enumerate(ps)] if noisy \
+                else [p.kernel for p in ps]
+            w = jnp.concatenate(kernels, 1).astype(cfg.dtype)
             b = jnp.concatenate([p.bias for p in ps]).astype(cfg.dtype)
             qkv = x.astype(cfg.dtype) @ w + b          # ONE [H, 3H] GEMM
             q, k, v = [y.reshape(B, S, H, D)
@@ -171,8 +195,13 @@ class SelfAttention(nn.Module):
         ctx = multi_head_attention(q, k, v, attention_mask,
                                    impl=cfg.attention_impl)
         ctx = ctx.reshape(B, S, cfg.hidden_size)
-        out = nn.Dense(cfg.hidden_size, kernel_init=init, name="out",
-                       dtype=cfg.dtype)(ctx)
+        if noisy:
+            op = ProjParams(cfg.hidden_size, cfg.hidden_size, init, name="out")
+            out = ctx @ qn(3, op.kernel).astype(cfg.dtype) \
+                + op.bias.astype(cfg.dtype)
+        else:
+            out = nn.Dense(cfg.hidden_size, kernel_init=init, name="out",
+                           dtype=cfg.dtype)(ctx)
         return nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
 
 
@@ -235,9 +264,19 @@ class TransformerEncoder(nn.Module):
             input_ids, token_type_ids, deterministic=deterministic)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if cfg.remat \
             else EncoderLayer
+        drop_layers = cfg.layerdrop_rate > 0.0 and not deterministic
         for i in range(cfg.num_layers):
-            x = layer_cls(cfg, name=f"layer_{i}")(
+            y = layer_cls(cfg, name=f"layer_{i}")(
                 x, attention_mask, deterministic)
+            if drop_layers:
+                # LayerDrop (fairseq modules.py:103-135): whole-batch scalar
+                # drop per layer, no rescale. The skipped layer is still
+                # computed — the static-shape TPU idiom; semantics match.
+                drop = jax.random.bernoulli(self.make_rng("dropout"),
+                                            cfg.layerdrop_rate)
+                x = jnp.where(drop, x, y)
+            else:
+                x = y
         return x
 
 
