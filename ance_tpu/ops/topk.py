@@ -29,6 +29,21 @@ helper), pre-transposed query operand (43.5 vs 44.6 ms), bf16 accumulation
 Whatever bounds phase 1 is inside Mosaic's schedule for the [CHUNK, Q]
 shape, not anything reachable from the kernel body — recorded so the next
 attempt starts past these dead ends.
+
+Round-4 END-TO-END default selection (docs/perf_topk_defaults_r4.py →
+perf_topk_defaults_r4_run.jsonl, real chip, 1M×768): the kernel-level
+phase-1 wins from the r4 sweep (block_size=32: −8%, chunk_rows=2048 on
+int8: −16%, bf16 phase-1 on int8: −14%) do NOT survive whole-call
+accounting. Phase 3 gathers k·block_size rows/query, so bs32 ties at k=10
+(62.4 vs 60.7 ms) and LOSES 36% at k=200 (146.4 vs 107.7 ms); chunk 2048
+and bf16-vs-fp32 phase 1 land within the run-to-run spread at both
+production shapes (dev Q=2048 k=10: 58.3-62.4 ms across the whole grid;
+mine Q=512 k=200: 101.3-113.0 ms for every bs16 config). The shipped
+defaults below (block_size=16, chunk_rows=1024, query-dtype phase 1) are
+the measured end-to-end optimum; per-shape retuning buys ≤3% and is not
+worth a config surface. The native int8×int8 phase 1 remains a recorded
+dead end (2× slower — Mosaic lowers it off the MXU — and per-query
+quantization degrades block selection; docs/perf_topk_int8_r4_run.jsonl).
 """
 
 from __future__ import annotations
