@@ -8,9 +8,11 @@ seq 128 — the reference's passage config, commands/run_train.sh:30-36).
 
 FLOP accounting (matches docs/DESIGN.md): the encoder's MXU work is
 12 layers x 24·H² matmul FLOPs per token (QKV+out = 8H², FFN = 16H²)
-= 169.9 MFLOP/token x 128 tokens = 21.8 GFLOP/passage (attention score
-matmuls add ~0.5% at seq 128 and are excluded). MFU = achieved matmul
-FLOP/s over the chip's bf16 peak.
+= 169.9 MFLOP/token x 128 tokens = 21.8 GFLOP/passage. Attention score
+matmuls (QK^T + weights-times-V = 4·S·H = 0.393 MFLOP/token/layer, ~2.8%
+of the per-layer 24·H²) are EXCLUDED from the numerator although the chip
+performs them, so the reported MFU is conservative by ~2.8%. MFU =
+achieved matmul FLOP/s over the chip's bf16 peak.
 
 Baseline for ``vs_baseline``: the reference runs 4xV100 fp16
 (commands/run_train.sh:25-40) on HF transformers 2.3.0 + apex O1 — vanilla
