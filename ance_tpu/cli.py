@@ -667,6 +667,39 @@ def _qas_answers(path):
     return out
 
 
+def cmd_export_hf(args):
+    """Export a trained checkpoint OUT to the reference ecosystem's formats
+    (models/hf_export.py): an HF ``from_pretrained`` directory (rdot_nll*),
+    a DPR CheckpointState file (dpr), or a fairseq-named state dict
+    (seeddot_nll)."""
+    spec, model = _build_model(args)
+    params = _init_params(model, args.max_query_length)
+    params, ckpt_path, step = _load_latest_params(
+        params, args.training_dir, args.init_model_dir)
+    if ckpt_path is None:
+        raise SystemExit(
+            "export-hf: no complete checkpoint under --training_dir/"
+            "--init_model_dir — refusing to export a random init")
+    import jax
+    params = jax.device_get(params)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.model_type == "dpr":
+        from ance_tpu.models.hf_export import save_dpr_checkpoint
+        out = save_dpr_checkpoint(
+            os.path.join(args.out_dir, f"checkpoint-{step}"), params,
+            offset=step)
+    elif args.model_type == "seeddot_nll":
+        import torch
+        from ance_tpu.models.hf_export import torch_seeddot_state_dict
+        out = os.path.join(args.out_dir, "pytorch_model.bin")
+        torch.save(torch_seeddot_state_dict(params), out)
+    else:
+        from ance_tpu.models.hf_export import save_hf_checkpoint
+        out = save_hf_checkpoint(args.out_dir, params, model.config)
+    print(json.dumps({"exported": out, "from": ckpt_path, "step": step,
+                      "model_type": args.model_type}))
+
+
 def cmd_eval(args):
     from ance_tpu.evaluation.msmarco_eval import compute_metrics_from_files
     metrics = compute_metrics_from_files(args.reference, args.candidate)
@@ -1212,6 +1245,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, help="ranking TSV (else stdout)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export-hf",
+                       help="export a checkpoint to reference/HF torch "
+                            "formats (from_pretrained dir, DPR "
+                            "CheckpointState, or fairseq SEED dict)")
+    _add_common_model_flags(p)
+    p.add_argument("--training_dir", default=None,
+                   help="trainer output dir — exports the LATEST complete "
+                        "checkpoint")
+    p.add_argument("--init_model_dir", default=None,
+                   help="a specific checkpoint dir to export")
+    p.add_argument("--out_dir", required=True)
+    p.set_defaults(fn=cmd_export_hf)
 
     p = sub.add_parser("eval", help="official MS MARCO MRR scorer")
     p.add_argument("reference")
