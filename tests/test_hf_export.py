@@ -71,6 +71,7 @@ def test_robertadot_export_import_roundtrip():
     _tree_allclose(jax.device_get(params), back)
 
 
+@pytest.mark.slow  # parity tier: fast tier stays <4 min
 def test_export_forward_parity_in_torch():
     """The exported backbone, loaded into a torch RobertaModel, reproduces
     our flax encoder's hidden states — the mirror image of
@@ -165,6 +166,7 @@ def test_dpr_checkpoint_roundtrip(tmp_path):
     _tree_allclose(want, back)
 
 
+@pytest.mark.slow  # e2e tier: fast tier stays <4 min
 def test_cli_export_hf(tmp_path, capsys):
     """The user surface: msgpack checkpoint → ``export-hf`` → a directory
     torch's from_pretrained accepts (the reference's load path,
