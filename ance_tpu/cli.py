@@ -115,6 +115,22 @@ def _torch_ckpt_file(model_dir: str) -> bool:
     return any(f.endswith((".bin", ".pt")) for f in os.listdir(model_dir))
 
 
+def _native_ckpt_dir(model_dir: str):
+    """Resolve a NATIVE checkpoint under ``model_dir``: the dir itself
+    (params.msgpack / orbax ``state/``) or the newest complete
+    ``checkpoint-N`` inside it. None when there is nothing native."""
+    from ance_tpu.train import checkpoint as ckpt
+    if os.path.exists(os.path.join(model_dir, "params.msgpack")) or \
+            os.path.isdir(os.path.join(model_dir, "state")):
+        return model_dir
+    path, _ = ckpt.get_latest_checkpoint(model_dir)
+    return path if path and ckpt.is_complete(path) else None
+
+
+def _has_warm_start(model_dir: str) -> bool:
+    return _torch_ckpt_file(model_dir) or _native_ckpt_dir(model_dir) is not None
+
+
 def _eval_mesh(batch_size: int, tensor_parallel: int = 1):
     """Mesh for generator/inference encode paths (the reference's
     StreamingDataset rank striping, util.py:318-329). None on a single
@@ -152,10 +168,24 @@ def _encode_shardings(args, model, params, mesh):
 
 
 def _warm_start_params(spec, params, model_dir):
-    """Graft a torch checkpoint onto fresh init params, dispatching the
-    mapping on the model family (ADVICE r1: a DPR CheckpointState must go
-    through the biencoder mapping, never the RobertaDot one)."""
+    """Graft a checkpoint onto fresh init params, dispatching the mapping
+    on the model family (ADVICE r1: a DPR CheckpointState must go through
+    the biencoder mapping, never the RobertaDot one).
+
+    Accepts torch checkpoints (HF/DPR/fairseq dirs) AND native msgpack/
+    orbax checkpoints — in particular a ``seed-pretrain`` MLM checkpoint,
+    whose encoder grafts onto the seeddot fine-tuning model (the
+    reference's pretrain→fine-tune handoff, README.md:83-87; the decoder +
+    LM head are pretraining-only and dropped, like the reference dropping
+    the fairseq decoder when fine-tuning)."""
     from ance_tpu.models import hf_loader
+    native = _native_ckpt_dir(model_dir)
+    if native is not None and not _torch_ckpt_file(model_dir):
+        from ance_tpu.train import checkpoint as ckpt
+        tree = ckpt.load_raw_params(native)
+        if "lm_dense" in tree:  # SEED MLM pretraining tree → encoder only
+            tree = {"encoder": tree["encoder"]}
+        return hf_loader.graft(params, tree)
     sd = hf_loader.load_torch_state_dict(model_dir)
     if spec.two_tower:
         loaded = hf_loader.biencoder_params_from_torch(sd)
@@ -207,7 +237,7 @@ def _make_training(args, model, spec):
                                  jnp.zeros((2, L), jnp.int32),
                                  jnp.ones((2, L), jnp.int32))["params"]
     if args.model_name_or_path and os.path.isdir(args.model_name_or_path) \
-            and _torch_ckpt_file(args.model_name_or_path):
+            and _has_warm_start(args.model_name_or_path):
         params = _warm_start_params(spec, params, args.model_name_or_path)
         logger.info("warm-started %s from %s", spec.name,
                     args.model_name_or_path)
@@ -672,31 +702,36 @@ def cmd_export_hf(args):
     (models/hf_export.py): an HF ``from_pretrained`` directory (rdot_nll*),
     a DPR CheckpointState file (dpr), or a fairseq-named state dict
     (seeddot_nll)."""
+    from ance_tpu.train import checkpoint as ckpt
     spec, model = _build_model(args)
-    params = _init_params(model, args.max_query_length)
-    params, ckpt_path, step = _load_latest_params(
-        params, args.training_dir, args.init_model_dir)
-    if ckpt_path is None:
+    path, step = ckpt.get_latest_checkpoint(args.training_dir or "",
+                                            args.init_model_dir)
+    if path is None or not ckpt.is_complete(path):
         raise SystemExit(
             "export-hf: no complete checkpoint under --training_dir/"
             "--init_model_dir — refusing to export a random init")
-    import jax
-    params = jax.device_get(params)
+    # raw (template-free) load: a seed-pretrain MLM tree is exportable even
+    # though no registry model matches it; geometry is validated against the
+    # config by save_hf_checkpoint / structurally by the exporters
+    tree = ckpt.load_raw_params(path)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.model_type == "dpr":
         from ance_tpu.models.hf_export import save_dpr_checkpoint
         out = save_dpr_checkpoint(
-            os.path.join(args.out_dir, f"checkpoint-{step}"), params,
+            os.path.join(args.out_dir, f"checkpoint-{step}"), tree,
             offset=step)
     elif args.model_type == "seeddot_nll":
         import torch
-        from ance_tpu.models.hf_export import torch_seeddot_state_dict
+        from ance_tpu.models.hf_export import (
+            torch_seed_mlm_state_dict, torch_seeddot_state_dict)
+        to_sd = torch_seed_mlm_state_dict if "lm_dense" in tree \
+            else torch_seeddot_state_dict
         out = os.path.join(args.out_dir, "pytorch_model.bin")
-        torch.save(torch_seeddot_state_dict(params), out)
+        torch.save(to_sd(tree), out)
     else:
         from ance_tpu.models.hf_export import save_hf_checkpoint
-        out = save_hf_checkpoint(args.out_dir, params, model.config)
-    print(json.dumps({"exported": out, "from": ckpt_path, "step": step,
+        out = save_hf_checkpoint(args.out_dir, tree, model.config)
+    print(json.dumps({"exported": out, "from": path, "step": step,
                       "model_type": args.model_type}))
 
 
@@ -763,7 +798,15 @@ def _load_latest_params(params, training_dir, init_model_dir):
         path, step = ckpt.get_latest_checkpoint(training_dir or "",
                                                 init_model_dir)
     if path and ckpt.is_complete(path):
-        params, _, _ = ckpt.load_checkpoint(path, params)
+        try:
+            params, _, _ = ckpt.load_checkpoint(path, params)
+        except ValueError as e:
+            raise SystemExit(
+                f"checkpoint {path} does not structurally match this "
+                f"model family ({e}); a different-family checkpoint — "
+                "e.g. a seed-pretrain MLM tree warm-starting seeddot — "
+                "goes through --model_name_or_path, not "
+                "--training_dir/--init_model_dir")
         return params, path, step
     return params, None, step
 
@@ -829,7 +872,7 @@ def cmd_serve(args):
     if ckpt_path:
         params_source = ckpt_path
     elif args.model_name_or_path and os.path.isdir(args.model_name_or_path) \
-            and _torch_ckpt_file(args.model_name_or_path):
+            and _has_warm_start(args.model_name_or_path):
         params = _warm_start_params(spec, params, args.model_name_or_path)
         params_source = args.model_name_or_path
     else:

@@ -141,6 +141,42 @@ def torch_seeddot_state_dict(params: Mapping) -> dict:
     return sd
 
 
+def torch_seed_mlm_state_dict(params: Mapping) -> dict:
+    """SeedForMaskedLM params (train/seed_pretrain.py output) → an HF-saved
+    SEED checkpoint state dict (inverse of
+    hf_loader.seed_mlm_params_from_torch): encoder under
+    ``seed_encoder.encoder.sentence_encoder.``, decoder under ``decoder.``,
+    LM head at ``lm_head.*`` (reference modeling_seed_encoder.py:136-183) —
+    so a SEED model PRETRAINED HERE can continue pretraining or fine-tune
+    in the reference stack."""
+    sd = torch_seed_encoder_state_dict(params["encoder"])
+    d = "decoder."
+    i = 0
+    while f"decoder_layer_{i}" in params:
+        lp = f"{d}layers.{i}."
+        layer = params[f"decoder_layer_{i}"]
+        for name in ("self_attn", "encoder_attn"):
+            for part, proj in (("q", "q_proj"), ("k", "k_proj"),
+                               ("v", "v_proj"), ("out", "out_proj")):
+                _dense_out(sd, lp + f"{name}.{proj}",
+                           layer[f"{name}_{part}"])
+            _layer_norm_out(sd, lp + f"{name}_layer_norm",
+                            layer[f"{name}_layer_norm"])
+        _layer_norm_out(sd, lp + "final_layer_norm",
+                        layer["final_layer_norm"])
+        _dense_out(sd, lp + "fc1", layer["fc1"])
+        _dense_out(sd, lp + "fc2", layer["fc2"])
+        i += 1
+    sd[d + "embed_positions.weight"] = _t(params["decoder_pos"]["embedding"])
+    _layer_norm_out(sd, d + "layernorm_embedding",
+                    params["decoder_embed_norm"])
+    _layer_norm_out(sd, d + "layer_norm", params["decoder_final_norm"])
+    _dense_out(sd, "lm_head.dense", params["lm_dense"])
+    _layer_norm_out(sd, "lm_head.layer_norm", params["lm_norm"])
+    sd["lm_head.bias"] = _t(params["lm_bias"])
+    return sd
+
+
 def torch_biencoder_model_dict(params: Mapping) -> dict:
     """BiEncoder params → the DPR ``model_dict`` (``question_model.*`` /
     ``ctx_model.*`` bare-BertModel keys — HFBertEncoder IS a BertModel,
@@ -182,6 +218,15 @@ def save_hf_checkpoint(out_dir: str | os.PathLike, params: Mapping,
     hf_loader.load_torch_state_dict → robertadot_params_from_torch."""
     import torch
     out_dir = str(out_dir)
+    emb = np.shape(
+        params["encoder"]["embeddings"]["word_embeddings"]["embedding"])
+    n_layers = sum(1 for k in params["encoder"] if k.startswith("layer_"))
+    if emb != (config.vocab_size, config.hidden_size) \
+            or n_layers != config.num_layers:
+        raise ValueError(
+            f"checkpoint geometry {emb} x {n_layers} layers does not match "
+            f"the config ({config.vocab_size}, {config.hidden_size}) x "
+            f"{config.num_layers} — config.json would lie about the weights")
     os.makedirs(out_dir, exist_ok=True)
     sd = torch_robertadot_state_dict(params)
     torch.save(sd, os.path.join(out_dir, "pytorch_model.bin"))

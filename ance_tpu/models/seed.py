@@ -61,6 +61,9 @@ def seed_dot_model(vocab_size: int = 32769, out_dim: int = 768,
                    config_overrides=None, **kw) -> RobertaDot:
     """The ``seeddot_nll`` retrieval model (reference models.py:201-221)."""
     kw.update(config_overrides or {})
+    # overrides may carry vocab_size (e.g. CLI --encoder_overrides for a
+    # tiny-vocab pretrain handoff) — it must not collide with the positional
+    vocab_size = kw.pop("vocab_size", vocab_size)
     return RobertaDot(seed_encoder_config(vocab_size, **kw), use_mean=False,
                       out_dim=out_dim)
 

@@ -92,6 +92,26 @@ def load_checkpoint(ckpt_dir: str, params_template: Any,
     return params, opt_state, meta
 
 
+def load_raw_params(ckpt_dir: str) -> Any:
+    """Template-free params restore (nested dicts of host arrays).
+
+    For warm-starting a DIFFERENT model family than the one that wrote the
+    checkpoint — e.g. grafting a pretrained SEED MLM encoder onto the
+    seeddot fine-tuning model (the reference's pretrain→fine-tune handoff,
+    README.md:83-87) — where no matching template pytree exists."""
+    msgpack_path = os.path.join(ckpt_dir, "params.msgpack")
+    if os.path.exists(msgpack_path):
+        with open(msgpack_path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    import orbax.checkpoint as ocp
+    state_dir = os.path.join(ckpt_dir, "state")
+    with ocp.StandardCheckpointer() as ckptr:
+        if os.path.isdir(state_dir):
+            return ckptr.restore(os.path.abspath(state_dir))["params"]
+        return ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, "params")))
+
+
 def _load_orbax_checkpoint(ckpt_dir: str, params_template: Any,
                            opt_state_template: Any = None):
     """Orbax layouts: ``state/`` composite ({"params", "opt_state"?}) from

@@ -63,6 +63,75 @@ def _init(model):
     return model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
 
 
+def test_seed_pretrain_checkpoint_warmstarts_seeddot(tmp_path):
+    """The native pretrain→fine-tune handoff (reference README.md:83-87
+    workflow): a ``seed-pretrain`` msgpack MLM checkpoint grafts its
+    encoder onto the seeddot model; decoder + LM head are dropped and the
+    projection head stays freshly initialized."""
+    from ance_tpu.cli import _has_warm_start, _warm_start_params
+    from ance_tpu.models.seed import (
+        SeedDecoderConfig, SeedForMaskedLM, seed_dot_model,
+        seed_encoder_config)
+    from ance_tpu.train.checkpoint import save_checkpoint
+
+    geom = dict(vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64, max_position_embeddings=40,
+                hidden_dropout=0.0, attention_dropout=0.0)
+    mlm = SeedForMaskedLM(
+        seed_encoder_config(**geom),
+        SeedDecoderConfig(num_layers=1, attention_window=2, hidden_size=32,
+                          num_heads=4, intermediate_size=64,
+                          max_positions=40, dropout=0.0))
+    ids = jnp.ones((2, 8), jnp.int32)
+    mlm_params = jax.jit(mlm.init)(jax.random.PRNGKey(1), ids,
+                                   jnp.ones_like(ids), ids[:, :6])["params"]
+    save_checkpoint(str(tmp_path / "pretrain"), 5,
+                    jax.device_get(mlm_params))
+    assert _has_warm_start(str(tmp_path / "pretrain"))
+
+    dot = seed_dot_model(out_dim=16, **geom)
+    init = _init(dot)
+    spec = get_model_spec("seeddot_nll")
+    warm = _warm_start_params(spec, init, str(tmp_path / "pretrain"))
+
+    got = np.asarray(
+        warm["encoder"]["embeddings"]["word_embeddings"]["embedding"])
+    want = np.asarray(
+        mlm_params["encoder"]["embeddings"]["word_embeddings"]["embedding"])
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(warm["encoder"]["layer_1"]["mlp"]["intermediate"]["kernel"]),
+        np.asarray(mlm_params["encoder"]["layer_1"]["mlp"]["intermediate"]
+                   ["kernel"]))
+    # fresh head survives; no decoder/LM leaves leak into the dot tree
+    np.testing.assert_array_equal(
+        np.asarray(warm["embedding_head"]["kernel"]),
+        np.asarray(init["embedding_head"]["kernel"]))
+    assert "lm_dense" not in warm and "decoder_layer_0" not in warm
+
+
+def test_native_dot_checkpoint_warmstarts_same_family(tmp_path):
+    """A checkpoint from OUR trainer (dot tree) also warm-starts directly
+    via --model_name_or_path — e.g. reusing a FirstP checkpoint as the
+    init of a new experiment without --training_dir resume semantics."""
+    from ance_tpu.cli import _warm_start_params
+    from ance_tpu.train.checkpoint import save_checkpoint
+
+    model = RobertaDot(_tiny_roberta_cfg(), out_dim=16)
+    src = _init(model)
+    save_checkpoint(str(tmp_path / "run1"), 3, jax.device_get(src))
+
+    fresh = RobertaDot(_tiny_roberta_cfg(), out_dim=16)
+    init2 = jax.jit(fresh.init)(jax.random.PRNGKey(7),
+                                jnp.ones((2, 6), jnp.int32),
+                                jnp.ones((2, 6), jnp.int32))["params"]
+    spec = get_model_spec("rdot_nll")
+    warm = _warm_start_params(spec, init2, str(tmp_path / "run1"))
+    np.testing.assert_array_equal(
+        np.asarray(warm["embedding_head"]["kernel"]),
+        np.asarray(src["embedding_head"]["kernel"]))
+
+
 def test_dpr_warmstart_routes_to_biencoder_mapping(tmp_path):
     rs = np.random.RandomState(0)
     sd = {}

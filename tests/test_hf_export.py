@@ -203,6 +203,33 @@ def test_cli_export_hf(tmp_path, capsys):
               "--out_dir", str(tmp_path / "out2")])
 
 
+def test_seed_mlm_export_import_roundtrip():
+    """Full pretraining tree (encoder + windowed decoder + LM head) out to
+    the HF-saved fairseq naming and back — the artifact a reference user
+    needs to continue our SEED pretraining in their stack."""
+    from ance_tpu.models.hf_export import torch_seed_mlm_state_dict
+    from ance_tpu.models.hf_loader import seed_mlm_params_from_torch
+    from ance_tpu.models.seed import (
+        SeedDecoderConfig, SeedForMaskedLM, seed_encoder_config)
+
+    mlm = SeedForMaskedLM(
+        seed_encoder_config(vocab_size=100, hidden_size=32, num_layers=2,
+                            num_heads=4, intermediate_size=64,
+                            max_position_embeddings=40,
+                            hidden_dropout=0.0, attention_dropout=0.0),
+        SeedDecoderConfig(num_layers=1, attention_window=2, hidden_size=32,
+                          num_heads=4, intermediate_size=64,
+                          max_positions=40, dropout=0.0))
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = jax.device_get(jax.jit(mlm.init)(
+        jax.random.PRNGKey(2), ids, jnp.ones_like(ids),
+        ids[:, :6])["params"])
+    sd = torch_seed_mlm_state_dict(params)
+    assert "lm_head.bias" in sd and "decoder.layers.0.fc1.weight" in sd
+    back = seed_mlm_params_from_torch(sd, max_position_embeddings=40)
+    _tree_allclose(params, back)
+
+
 def test_seeddot_export_import_roundtrip():
     cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
                         num_heads=4, intermediate_size=64,
