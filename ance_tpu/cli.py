@@ -854,9 +854,10 @@ def cmd_serve(args):
     from ance_tpu.serve import Retriever
     from ance_tpu.train.encode import encode_cache, make_encode_fn
 
-    if not args.queries and not args.query_cache:
-        raise SystemExit("serve needs a query source: --queries (raw TSV) "
-                         "or --query_cache (tokenized cache)")
+    if not args.queries and not args.query_cache and not args.http:
+        raise SystemExit("serve needs a query source: --queries (raw TSV), "
+                         "--query_cache (tokenized cache), or --http "
+                         "(online mode)")
     if not args.emb_prefix and not args.data_dir and not args.load_index:
         raise SystemExit("serve needs a corpus source: --emb_prefix (infer "
                          "dump), --data_dir (token cache to encode), or "
@@ -983,11 +984,34 @@ def _serve_with_index(args, spec, model, params, params_source,
     L = args.max_query_length
     tokenizer = None
     if not args.query_cache:
-        tokenizer = _tokenizer_factory(spec.tokenizer_name,
-                                       args.model_name_or_path)()
+        try:
+            tokenizer = _tokenizer_factory(spec.tokenizer_name,
+                                           args.model_name_or_path)()
+        except Exception as e:
+            if not args.http:
+                raise
+            print(f"WARNING: no tokenizer ({e}); HTTP mode will accept "
+                  "token arrays (ids/mask) only", file=sys.stderr)
     retriever = Retriever(make_encode_fn(model, type(model).query_emb),
                           params, index, embedding2id=e2id,
                           tokenizer=tokenizer, max_query_length=L)
+
+    if args.http:
+        from ance_tpu.serve_http import RetrieverHTTPServer
+        host, _, port = args.http.rpartition(":")
+        server = RetrieverHTTPServer(retriever, host=host or "127.0.0.1",
+                                     port=int(port), pid_space=pid_space,
+                                     default_k=args.topk)
+        addr = server.address
+        print(json.dumps({"serving": f"http://{addr[0]}:{addr[1]}",
+                          "params": params_source,
+                          "ntotal": int(index.ntotal),
+                          "pid_space": pid_space}), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return
 
     out = open(args.output, "w", encoding="utf-8") if args.output \
         else sys.stdout
@@ -1287,6 +1311,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run tag column for --format trec")
     p.add_argument("--output", default=None, help="ranking TSV (else stdout)")
     p.add_argument("--per_device_eval_batch_size", type=int, default=128)
+    p.add_argument("--http", default=None, metavar="HOST:PORT",
+                   help="serve ONLINE over HTTP instead of ranking a batch: "
+                        "GET /healthz, POST /search {queries|ids, k} "
+                        "(ance_tpu/serve_http.py)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-hf",

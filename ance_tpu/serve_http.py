@@ -1,0 +1,165 @@
+"""HTTP serving: the online face of :class:`ance_tpu.serve.Retriever`.
+
+The reference frames ANCE as a production retrieval stage (~100× cheaper
+than a BERT rerank cascade, reference README.md:16-17) but ships only batch
+drivers; this exposes the frozen-encoder + HBM-resident-index pair behind a
+minimal JSON API — stdlib only (http.server), no new dependencies, suitable
+for sidecar deployment behind a real load balancer.
+
+API:
+  GET  /healthz            → {"status": "ok", "ntotal": N, "pid_space": ...}
+  POST /search             body {"queries": ["text", ...], "k": 10}
+                           or  {"ids": [[...]], "mask": [[...]], "k": 10}
+                           → {"results": [[{"pid": p, "score": s}, ...] per
+                              query], "k": k, "latency_ms": t}
+
+Requests are batches — the TPU's throughput comes from batch width (measured
+serve-path knee: 902 qps @ b64 → 6,674 qps @ b2048, docs/perf_serve_r4.py) —
+so a client should pack queries per call. Device work is serialized with a
+lock: one chip, one in-flight batch; HTTP threads only overlap host-side
+parsing/tokenization.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class RetrieverHTTPServer:
+    """Wraps a :class:`~ance_tpu.serve.Retriever` in a ThreadingHTTPServer.
+
+    ``serve_forever`` blocks (CLI use); ``start``/``shutdown`` run it on a
+    daemon thread (tests, embedding in another process).
+    """
+
+    def __init__(self, retriever, host: str = "127.0.0.1", port: int = 8080,
+                 pid_space: str = "real", default_k: int = 10,
+                 max_k: int = 1000, max_batch: int = 4096):
+        self.retriever = retriever
+        self.pid_space = pid_space
+        self.default_k = default_k
+        self.max_k = max_k
+        self.max_batch = max_batch
+        self._device_lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet by default; errors still reach the client as JSON
+            def log_message(self, fmt, *fmt_args):
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._reply(404, {"error": "unknown path"})
+                self._reply(200, {
+                    "status": "ok",
+                    "ntotal": int(outer.retriever.index.ntotal),
+                    "pid_space": outer.pid_space,
+                    "max_k": outer.max_k,
+                    "max_batch": outer.max_batch,
+                })
+
+            def do_POST(self):
+                if self.path != "/search":
+                    return self._reply(404, {"error": "unknown path"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_BODY_BYTES:
+                        return self._reply(413, {"error": "body too large"})
+                    req = json.loads(self.rfile.read(n))
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._reply(400, {"error": f"bad json: {e}"})
+                try:
+                    payload = outer._search(req)
+                except _BadRequest as e:
+                    return self._reply(400, {"error": str(e)})
+                except Exception as e:  # device/tokenizer failure
+                    return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                self._reply(200, payload)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._server.daemon_threads = True
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._server.server_address[:2]
+
+    def _search(self, req: dict) -> dict:
+        if not isinstance(req, dict):
+            raise _BadRequest("body must be a JSON object")
+        k = req.get("k", self.default_k)
+        if not isinstance(k, int) or not 1 <= k <= self.max_k:
+            raise _BadRequest(f"k must be an int in [1, {self.max_k}]")
+        t0 = time.perf_counter()
+        if "queries" in req:
+            queries = req["queries"]
+            if (not isinstance(queries, list) or not queries
+                    or not all(isinstance(q, str) for q in queries)):
+                raise _BadRequest("queries must be a non-empty list of strings")
+            if len(queries) > self.max_batch:
+                raise _BadRequest(f"batch > max_batch ({self.max_batch})")
+            if self.retriever.tokenizer is None:
+                raise _BadRequest("server has no tokenizer; POST token "
+                                  "arrays as ids/mask instead")
+            with self._device_lock:
+                scores, pids = self.retriever.search(queries, k=k)
+        elif "ids" in req:
+            try:
+                ids = np.asarray(req["ids"], np.int32)
+                mask = np.asarray(req.get("mask",
+                                          (ids != 0).astype(np.int32)),
+                                  np.int32)
+            except (ValueError, TypeError) as e:
+                raise _BadRequest(f"bad ids/mask arrays: {e}")
+            if ids.ndim != 2 or mask.shape != ids.shape:
+                raise _BadRequest("ids/mask must be equal-shape 2-D arrays")
+            if len(ids) > self.max_batch:
+                raise _BadRequest(f"batch > max_batch ({self.max_batch})")
+            with self._device_lock:
+                scores, pids = self.retriever.search_tokens(ids, mask, k)
+        else:
+            raise _BadRequest("need 'queries' (text) or 'ids' (+'mask')")
+        ms = (time.perf_counter() - t0) * 1000.0
+        results = [
+            [{"pid": int(p), "score": float(s)}
+             for p, s in zip(prow, srow) if p >= 0]
+            for prow, srow in zip(np.asarray(pids), np.asarray(scores))
+        ]
+        return {"results": results, "k": k, "latency_ms": round(ms, 2)}
+
+    def serve_forever(self) -> None:
+        self._server.serve_forever()
+
+    def start(self) -> "RetrieverHTTPServer":
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
+class _BadRequest(ValueError):
+    pass

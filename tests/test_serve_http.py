@@ -1,0 +1,140 @@
+"""HTTP serving layer: the JSON API over Retriever (ance_tpu/serve_http.py).
+
+Runs a real ThreadingHTTPServer on an ephemeral port and talks to it with
+urllib — no device, the encoder is the same IdentityEncoder double the batch
+serve tests use."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from ance_tpu.index.flat import FlatIPIndex
+from ance_tpu.serve import Retriever
+from ance_tpu.serve_http import RetrieverHTTPServer
+
+
+class IdentityEncoder:
+    def __call__(self, params, ids, mask):
+        return jax.nn.one_hot(ids[:, 1], 8)
+
+
+class Tok:
+    pad_token_id = 0
+
+    def encode(self, text, add_special_tokens=True, max_length=None):
+        return [2, 3 if "cat" in text else 5][:max_length]
+
+
+@pytest.fixture(scope="module")
+def server():
+    corpus = np.eye(8, dtype=np.float32)
+    index = FlatIPIndex(dim=8, method="scan")
+    index.add(corpus)
+    r = Retriever(IdentityEncoder(), params=None, index=index,
+                  tokenizer=Tok(), max_query_length=4)
+    srv = RetrieverHTTPServer(r, host="127.0.0.1", port=0,
+                              pid_space="offset", max_batch=16).start()
+    yield srv
+    srv.shutdown()
+
+
+def _post(srv, path, payload, as_bytes=None):
+    host, port = srv.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}",
+        data=as_bytes if as_bytes is not None
+        else json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _get(srv, path):
+    host, port = srv.address
+    with urllib.request.urlopen(f"http://{host}:{port}{path}",
+                                timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(server):
+    status, body = _get(server, "/healthz")
+    assert status == 200
+    assert body["status"] == "ok" and body["ntotal"] == 8
+    assert body["pid_space"] == "offset"
+
+
+def test_search_tokens_matches_direct_call(server):
+    ids = np.zeros((2, 4), np.int32)
+    ids[0, 1], ids[1, 1] = 3, 5
+    status, body = _post(server, "/search",
+                         {"ids": ids.tolist(),
+                          "mask": np.ones_like(ids).tolist(), "k": 2})
+    assert status == 200
+    want_scores, want_pids = server.retriever.search_tokens(
+        ids, np.ones_like(ids), 2)
+    got = body["results"]
+    assert [r[0]["pid"] for r in got] == [3, 5]
+    for row, ws, wp in zip(got, want_scores, want_pids):
+        assert [e["pid"] for e in row] == [int(p) for p in wp if p >= 0]
+        np.testing.assert_allclose([e["score"] for e in row],
+                                   [s for s, p in zip(ws, wp) if p >= 0],
+                                   rtol=1e-6)
+    assert body["latency_ms"] >= 0
+
+
+def test_search_text_queries(server):
+    status, body = _post(server, "/search",
+                         {"queries": ["a cat", "a dog"], "k": 1})
+    assert status == 200
+    assert [r[0]["pid"] for r in body["results"]] == [3, 5]
+
+
+def test_mask_defaults_to_nonzero_ids(server):
+    ids = np.zeros((1, 4), np.int32)
+    ids[0, 1] = 7
+    status, body = _post(server, "/search", {"ids": ids.tolist(), "k": 1})
+    assert status == 200
+    assert body["results"][0][0]["pid"] == 7
+
+
+def test_bad_requests(server):
+    for payload, match in [
+            ({"k": 0, "queries": ["x"]}, "k must be"),
+            ({"queries": []}, "non-empty"),
+            ({"k": 3}, "need 'queries'"),
+            ({"ids": [[1, 2]], "mask": [[1]]}, "equal-shape"),
+            ({"queries": ["x"] * 17}, "max_batch"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, "/search", payload)
+        assert exc.value.code == 400
+        assert match in json.loads(exc.value.read())["error"]
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, "/search", None, as_bytes=b"{not json")
+    assert exc.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/nope")
+    assert exc.value.code == 404
+
+
+def test_concurrent_requests_serialize_on_device_lock(server):
+    """Parallel clients get consistent, complete answers (device work is
+    lock-serialized; HTTP threads overlap only host-side)."""
+    import concurrent.futures as cf
+
+    def one(i):
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 1] = i % 8
+        _, body = _post(server, "/search", {"ids": ids.tolist(), "k": 1})
+        return body["results"][0][0]["pid"]
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(one, range(24)))
+    assert got == [i % 8 for i in range(24)]
