@@ -123,9 +123,15 @@ class RetrieverHTTPServer:
         elif "ids" in req:
             try:
                 ids = np.asarray(req["ids"], np.int32)
-                mask = np.asarray(req.get("mask",
-                                          (ids != 0).astype(np.int32)),
-                                  np.int32)
+                if "mask" in req:
+                    mask = np.asarray(req["mask"], np.int32)
+                else:
+                    # defaulted mask masks the tokenizer's pad id (roberta/
+                    # SEED pad is 1, not 0 — `ids != 0` would count padding
+                    # as real tokens)
+                    pad = getattr(self.retriever.tokenizer,
+                                  "pad_token_id", 0) or 0
+                    mask = (ids != pad).astype(np.int32)
             except (ValueError, TypeError) as e:
                 raise _BadRequest(f"bad ids/mask arrays: {e}")
             if ids.ndim != 2 or mask.shape != ids.shape:

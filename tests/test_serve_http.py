@@ -94,12 +94,39 @@ def test_search_text_queries(server):
     assert [r[0]["pid"] for r in body["results"]] == [3, 5]
 
 
-def test_mask_defaults_to_nonzero_ids(server):
+def test_mask_defaults_to_pad_id(server):
     ids = np.zeros((1, 4), np.int32)
     ids[0, 1] = 7
     status, body = _post(server, "/search", {"ids": ids.tolist(), "k": 1})
     assert status == 200
     assert body["results"][0][0]["pid"] == 7
+
+
+def test_mask_default_respects_roberta_pad_one():
+    """pad_token_id=1 (roberta/SEED): a defaulted mask must mask 1s, not
+    0s — `ids != 0` would count padding as real tokens."""
+    class PadOneTok(Tok):
+        pad_token_id = 1
+
+    seen = {}
+
+    class SpyEncoder(IdentityEncoder):
+        def __call__(self, params, ids, mask):
+            seen["mask"] = np.asarray(mask).copy()
+            return super().__call__(params, ids, mask)
+
+    index = FlatIPIndex(dim=8, method="scan")
+    index.add(np.eye(8, dtype=np.float32))
+    r = Retriever(SpyEncoder(), None, index, tokenizer=PadOneTok(),
+                  max_query_length=4)
+    srv = RetrieverHTTPServer(r, port=0).start()
+    try:
+        ids = np.ones((1, 4), np.int32)
+        ids[0, 1] = 7
+        _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        np.testing.assert_array_equal(seen["mask"], [[0, 1, 0, 0]])
+    finally:
+        srv.shutdown()
 
 
 def test_bad_requests(server):
