@@ -44,7 +44,16 @@ class _tokenizer_factory:
                                  "pointing at a vocab.txt directory")
             return WordPieceTokenizer.from_vocab_file(self.model_dir)
         from transformers import AutoTokenizer
-        return AutoTokenizer.from_pretrained(self.model_dir or self.name)
+        if self.model_dir:
+            try:
+                return AutoTokenizer.from_pretrained(self.model_dir)
+            except Exception:
+                # a weights-only dir (native pretrain→finetune handoff
+                # checkpoints carry no tokenizer files) — fall back to the
+                # registry's default tokenizer for the model family
+                print(f"note: no tokenizer files in {self.model_dir}; "
+                      f"falling back to {self.name!r}", file=sys.stderr)
+        return AutoTokenizer.from_pretrained(self.name)
 
 
 def _add_common_model_flags(p):
@@ -118,10 +127,16 @@ def _torch_ckpt_file(model_dir: str) -> bool:
 def _native_ckpt_dir(model_dir: str):
     """Resolve a NATIVE checkpoint under ``model_dir``: the dir itself
     (params.msgpack / orbax ``state/``) or the newest complete
-    ``checkpoint-N`` inside it. None when there is nothing native."""
+    ``checkpoint-N`` inside it. None when there is nothing native.
+
+    An orbax ``state/`` requires the DONE marker — the async writer commits
+    it only at the fence (checkpoint.py protocol), so an unmarked state dir
+    may be mid-write. A ``params.msgpack`` is published by atomic rename
+    and is safe to read as soon as it exists."""
     from ance_tpu.train import checkpoint as ckpt
     if os.path.exists(os.path.join(model_dir, "params.msgpack")) or \
-            os.path.isdir(os.path.join(model_dir, "state")):
+            (os.path.isdir(os.path.join(model_dir, "state"))
+             and ckpt.is_complete(model_dir)):
         return model_dir
     path, _ = ckpt.get_latest_checkpoint(model_dir)
     return path if path and ckpt.is_complete(path) else None
@@ -710,6 +725,16 @@ def cmd_export_hf(args):
         raise SystemExit(
             "export-hf: no complete checkpoint under --training_dir/"
             "--init_model_dir — refusing to export a random init")
+    if step == 0:
+        # --init_model_dir path: get_latest_checkpoint reports step 0 for
+        # it; recover the real step (the reference's DPR resume reads the
+        # exported offset) from meta.json, else the dirname
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                step = int(json.load(f).get("step", 0))
+        else:
+            step = ckpt.checkpoint_no(path)
     # raw (template-free) load: a seed-pretrain MLM tree is exportable even
     # though no registry model matches it; geometry is validated against the
     # config by save_hf_checkpoint / structurally by the exporters
@@ -987,8 +1012,10 @@ def _serve_with_index(args, spec, model, params, params_source,
         try:
             tokenizer = _tokenizer_factory(spec.tokenizer_name,
                                            args.model_name_or_path)()
-        except Exception as e:
-            if not args.http:
+        # BaseException: the seed-wordpiece path raises SystemExit when no
+        # vocab dir is given — HTTP mode must still degrade to token-only
+        except BaseException as e:
+            if not args.http or isinstance(e, KeyboardInterrupt):
                 raise
             print(f"WARNING: no tokenizer ({e}); HTTP mode will accept "
                   "token arrays (ids/mask) only", file=sys.stderr)
@@ -1001,7 +1028,8 @@ def _serve_with_index(args, spec, model, params, params_source,
         host, _, port = args.http.rpartition(":")
         server = RetrieverHTTPServer(retriever, host=host or "127.0.0.1",
                                      port=int(port), pid_space=pid_space,
-                                     default_k=args.topk)
+                                     default_k=args.topk,
+                                     pad_token_id=model.config.pad_token_id)
         addr = server.address
         print(json.dumps({"serving": f"http://{addr[0]}:{addr[1]}",
                           "params": params_source,

@@ -78,6 +78,12 @@ class Retriever:
                            for t in texts))
         return np.stack(ids), np.stack(masks)
 
+    def tokenize_queries(self, texts: Sequence[str]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Public tokenize step — lets callers (e.g. the HTTP layer) run
+        host-side tokenization outside their device serialization."""
+        return self._tokenize(texts)
+
     def embed_queries(self, ids: np.ndarray, mask: np.ndarray) -> jax.Array:
         return self.encode_fn(self.params, jnp.asarray(ids),
                               jnp.asarray(mask))

@@ -42,12 +42,23 @@ class RetrieverHTTPServer:
 
     def __init__(self, retriever, host: str = "127.0.0.1", port: int = 8080,
                  pid_space: str = "real", default_k: int = 10,
-                 max_k: int = 1000, max_batch: int = 4096):
+                 max_k: int = 1000, max_batch: int = 4096,
+                 pad_token_id: Optional[int] = None):
         self.retriever = retriever
         self.pid_space = pid_space
         self.default_k = default_k
-        self.max_k = max_k
+        # a CLI --topk above max_k must not turn every defaulted request
+        # into a 400 — the operator asked for that k
+        self.max_k = max(max_k, default_k)
         self.max_batch = max_batch
+        # mask default source of truth: explicit arg (model config) beats
+        # the tokenizer; in tokenizer-less mode the MODEL's pad id is the
+        # only correct one (roberta/SEED pad is 1; id 0 is CLS there)
+        if pad_token_id is not None:
+            self.pad_token_id = pad_token_id
+        else:
+            self.pad_token_id = getattr(retriever.tokenizer,
+                                        "pad_token_id", 0) or 0
         self._device_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         outer = self
@@ -105,7 +116,9 @@ class RetrieverHTTPServer:
         if not isinstance(req, dict):
             raise _BadRequest("body must be a JSON object")
         k = req.get("k", self.default_k)
-        if not isinstance(k, int) or not 1 <= k <= self.max_k:
+        # bool is a subclass of int — {"k": true} must not mean k=1
+        if isinstance(k, bool) or not isinstance(k, int) \
+                or not 1 <= k <= self.max_k:
             raise _BadRequest(f"k must be an int in [1, {self.max_k}]")
         t0 = time.perf_counter()
         if "queries" in req:
@@ -118,20 +131,20 @@ class RetrieverHTTPServer:
             if self.retriever.tokenizer is None:
                 raise _BadRequest("server has no tokenizer; POST token "
                                   "arrays as ids/mask instead")
+            # tokenize OUTSIDE the lock — only device work serializes
+            ids, mask = self.retriever.tokenize_queries(queries)
             with self._device_lock:
-                scores, pids = self.retriever.search(queries, k=k)
+                scores, pids = self.retriever.search_tokens(ids, mask, k)
         elif "ids" in req:
             try:
                 ids = np.asarray(req["ids"], np.int32)
                 if "mask" in req:
                     mask = np.asarray(req["mask"], np.int32)
                 else:
-                    # defaulted mask masks the tokenizer's pad id (roberta/
+                    # defaulted mask masks the configured pad id (roberta/
                     # SEED pad is 1, not 0 — `ids != 0` would count padding
-                    # as real tokens)
-                    pad = getattr(self.retriever.tokenizer,
-                                  "pad_token_id", 0) or 0
-                    mask = (ids != pad).astype(np.int32)
+                    # as real tokens and mask CLS)
+                    mask = (ids != self.pad_token_id).astype(np.int32)
             except (ValueError, TypeError) as e:
                 raise _BadRequest(f"bad ids/mask arrays: {e}")
             if ids.ndim != 2 or mask.shape != ids.shape:

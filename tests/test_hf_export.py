@@ -195,6 +195,15 @@ def test_cli_export_hf(tmp_path, capsys):
         attn_implementation="eager").eval()
     assert hf.config.num_hidden_layers == 2
 
+    # --init_model_dir pointing at the checkpoint dir itself must keep the
+    # real step (the reference's DPR resume reads the exported offset)
+    main(["export-hf", "--model_type", "rdot_nll",
+          "--encoder_overrides", json.dumps(overrides),
+          "--init_model_dir", str(tmp_path / "ckpts" / "checkpoint-9"),
+          "--out_dir", str(tmp_path / "out_direct")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["step"] == 9
+
     # refusing to export an un-checkpointed init is part of the contract
     with pytest.raises(SystemExit, match="refusing"):
         main(["export-hf", "--model_type", "rdot_nll",

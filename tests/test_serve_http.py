@@ -132,6 +132,7 @@ def test_mask_default_respects_roberta_pad_one():
 def test_bad_requests(server):
     for payload, match in [
             ({"k": 0, "queries": ["x"]}, "k must be"),
+            ({"k": True, "queries": ["x"]}, "k must be"),  # bool ⊂ int
             ({"queries": []}, "non-empty"),
             ({"k": 3}, "need 'queries'"),
             ({"ids": [[1, 2]], "mask": [[1]]}, "equal-shape"),
@@ -149,6 +150,44 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(server, "/nope")
     assert exc.value.code == 404
+
+
+def test_pad_id_arg_wins_without_tokenizer():
+    """Tokenizer-less mode (cli --http degradation): the MODEL's pad id,
+    passed explicitly, drives the defaulted mask."""
+    seen = {}
+
+    class SpyEncoder(IdentityEncoder):
+        def __call__(self, params, ids, mask):
+            seen["mask"] = np.asarray(mask).copy()
+            return super().__call__(params, ids, mask)
+
+    index = FlatIPIndex(dim=8, method="scan")
+    index.add(np.eye(8, dtype=np.float32))
+    r = Retriever(SpyEncoder(), None, index)  # no tokenizer
+    srv = RetrieverHTTPServer(r, port=0, pad_token_id=1).start()
+    try:
+        ids = np.ones((1, 4), np.int32)
+        ids[0, 1] = 7
+        _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        np.testing.assert_array_equal(seen["mask"], [[0, 1, 0, 0]])
+    finally:
+        srv.shutdown()
+
+
+def test_operator_topk_above_max_k_is_honored():
+    index = FlatIPIndex(dim=8, method="scan")
+    index.add(np.eye(8, dtype=np.float32))
+    r = Retriever(IdentityEncoder(), None, index)
+    srv = RetrieverHTTPServer(r, port=0, default_k=2000, max_k=1000).start()
+    try:
+        status, body = _get(srv, "/healthz")
+        assert body["max_k"] == 2000
+        ids = np.zeros((1, 4), np.int32)
+        status, body = _post(srv, "/search", {"ids": ids.tolist()})
+        assert status == 200 and body["k"] == 2000
+    finally:
+        srv.shutdown()
 
 
 def test_concurrent_requests_serialize_on_device_lock(server):
