@@ -57,7 +57,7 @@ def test_command_presets_parse_and_use_valid_flags():
             assert sub in sub_actions, f"{preset}: unknown subcommand {sub}"
             valid = {opt for a in sub_actions[sub]._actions
                      for opt in a.option_strings}
-            used = set(re.findall(r"(--[a-z_]+)", m.group(2)))
+            used = set(re.findall(r"(--[a-z0-9_]+)", m.group(2)))
             unknown = used - valid
             assert not unknown, f"{preset} {sub}: unknown flags {unknown}"
 
