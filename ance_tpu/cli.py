@@ -1029,7 +1029,8 @@ def _serve_with_index(args, spec, model, params, params_source,
         server = RetrieverHTTPServer(retriever, host=host or "127.0.0.1",
                                      port=int(port), pid_space=pid_space,
                                      default_k=args.topk,
-                                     pad_token_id=model.config.pad_token_id)
+                                     pad_token_id=model.config.pad_token_id,
+                                     allow_reload=True)
         addr = server.address
         print(json.dumps({"serving": f"http://{addr[0]}:{addr[1]}",
                           "params": params_source,

@@ -8,10 +8,17 @@ for sidecar deployment behind a real load balancer.
 
 API:
   GET  /healthz            → {"status": "ok", "ntotal": N, "pid_space": ...}
+  GET  /metrics            → {"requests": n, "queries": n, "errors": n,
+                              "latency_ms_ewma": t}
   POST /search             body {"queries": ["text", ...], "k": 10}
                            or  {"ids": [[...]], "mask": [[...]], "k": 10}
                            → {"results": [[{"pid": p, "score": s}, ...] per
                               query], "k": k, "latency_ms": t}
+  POST /reload             body {"index": "/path/saved_index"} — hot-swap a
+                           saved index (+ its .ids.npy sidecar) under the
+                           device lock: refresh without dropping the server
+                           (only enabled when constructed with
+                           ``allow_reload=True``; the CLI sets it)
 
 Requests are batches — the TPU's throughput comes from batch width (measured
 serve-path knee: 902 qps @ b64 → 6,674 qps @ b2048, docs/perf_serve_r4.py) —
@@ -43,7 +50,8 @@ class RetrieverHTTPServer:
     def __init__(self, retriever, host: str = "127.0.0.1", port: int = 8080,
                  pid_space: str = "real", default_k: int = 10,
                  max_k: int = 1000, max_batch: int = 4096,
-                 pad_token_id: Optional[int] = None):
+                 pad_token_id: Optional[int] = None,
+                 allow_reload: bool = False):
         self.retriever = retriever
         self.pid_space = pid_space
         self.default_k = default_k
@@ -59,8 +67,12 @@ class RetrieverHTTPServer:
         else:
             self.pad_token_id = getattr(retriever.tokenizer,
                                         "pad_token_id", 0) or 0
+        self.allow_reload = allow_reload
         self._device_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
+        self._stats = {"requests": 0, "queries": 0, "errors": 0,
+                       "latency_ms_ewma": 0.0}
+        self._stats_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -77,18 +89,24 @@ class RetrieverHTTPServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path != "/healthz":
-                    return self._reply(404, {"error": "unknown path"})
-                self._reply(200, {
-                    "status": "ok",
-                    "ntotal": int(outer.retriever.index.ntotal),
-                    "pid_space": outer.pid_space,
-                    "max_k": outer.max_k,
-                    "max_batch": outer.max_batch,
-                })
+                if self.path == "/healthz":
+                    return self._reply(200, {
+                        "status": "ok",
+                        "ntotal": int(outer.retriever.index.ntotal),
+                        "pid_space": outer.pid_space,
+                        "max_k": outer.max_k,
+                        "max_batch": outer.max_batch,
+                    })
+                if self.path == "/metrics":
+                    with outer._stats_lock:
+                        return self._reply(200, dict(
+                            outer._stats,
+                            latency_ms_ewma=round(
+                                outer._stats["latency_ms_ewma"], 2)))
+                self._reply(404, {"error": "unknown path"})
 
             def do_POST(self):
-                if self.path != "/search":
+                if self.path not in ("/search", "/reload"):
                     return self._reply(404, {"error": "unknown path"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -98,10 +116,13 @@ class RetrieverHTTPServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._reply(400, {"error": f"bad json: {e}"})
                 try:
-                    payload = outer._search(req)
+                    payload = outer._reload(req) if self.path == "/reload" \
+                        else outer._search(req)
                 except _BadRequest as e:
+                    outer._count(errors=1)
                     return self._reply(400, {"error": str(e)})
                 except Exception as e:  # device/tokenizer failure
+                    outer._count(errors=1)
                     return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 self._reply(200, payload)
 
@@ -111,6 +132,39 @@ class RetrieverHTTPServer:
     @property
     def address(self) -> tuple[str, int]:
         return self._server.server_address[:2]
+
+    def _count(self, requests: int = 0, queries: int = 0, errors: int = 0,
+               latency_ms: Optional[float] = None) -> None:
+        with self._stats_lock:
+            self._stats["requests"] += requests
+            self._stats["queries"] += queries
+            self._stats["errors"] += errors
+            if latency_ms is not None:
+                prev = self._stats["latency_ms_ewma"]
+                self._stats["latency_ms_ewma"] = latency_ms if prev == 0 \
+                    else 0.9 * prev + 0.1 * latency_ms
+
+    def _reload(self, req: dict) -> dict:
+        """Hot-swap a SAVED index (FlatIPIndex.save layout + .ids.npy
+        sidecar in real pid space — the serve CLI's --save_index artifact):
+        refresh the corpus without dropping the server."""
+        if not self.allow_reload:
+            raise _BadRequest("reload disabled on this server")
+        if not isinstance(req, dict) or not isinstance(req.get("index"), str):
+            raise _BadRequest("need {'index': '/path/to/saved_index'}")
+        from ance_tpu.index.flat import FlatIPIndex
+        path = req["index"]
+        try:
+            new_index = FlatIPIndex.load(path)
+            e2id = np.load(path + ".ids.npy").astype(np.int64)
+        except (OSError, ValueError, KeyError) as e:
+            raise _BadRequest(f"cannot load index {path!r}: {e}")
+        if len(e2id) != new_index.ntotal:
+            raise _BadRequest("saved index and its .ids.npy sidecar disagree")
+        with self._device_lock:
+            self.retriever.index = new_index
+            self.retriever.embedding2id = e2id
+        return {"reloaded": path, "ntotal": int(new_index.ntotal)}
 
     def _search(self, req: dict) -> dict:
         if not isinstance(req, dict):
@@ -156,6 +210,8 @@ class RetrieverHTTPServer:
         else:
             raise _BadRequest("need 'queries' (text) or 'ids' (+'mask')")
         ms = (time.perf_counter() - t0) * 1000.0
+        self._count(requests=1, queries=int(np.asarray(pids).shape[0]),
+                    latency_ms=ms)
         results = [
             [{"pid": int(p), "score": float(s)}
              for p, s in zip(prow, srow) if p >= 0]

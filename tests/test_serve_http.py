@@ -190,6 +190,73 @@ def test_operator_topk_above_max_k_is_honored():
         srv.shutdown()
 
 
+def test_metrics_endpoint():
+    index = FlatIPIndex(dim=8, method="scan")
+    index.add(np.eye(8, dtype=np.float32))
+    r = Retriever(IdentityEncoder(), None, index)
+    srv = RetrieverHTTPServer(r, port=0).start()
+    try:
+        ids = np.zeros((3, 4), np.int32)
+        _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "/search", {"k": 1})  # counted as an error
+        status, m = _get(srv, "/metrics")
+        assert status == 200
+        assert m["requests"] == 2 and m["queries"] == 6
+        assert m["errors"] == 1 and m["latency_ms_ewma"] > 0
+    finally:
+        srv.shutdown()
+
+
+def test_reload_hot_swaps_saved_index(tmp_path):
+    """POST /reload swaps in a saved index + sidecar without a restart;
+    disabled unless the server was constructed with allow_reload."""
+    def saved(path, n):
+        idx = FlatIPIndex(dim=8, method="scan")
+        idx.add(np.eye(8, dtype=np.float32)[:n])
+        idx.save(str(path))
+        np.save(str(path) + ".ids.npy",
+                np.arange(100, 100 + n, dtype=np.int64))
+        return str(path)
+
+    p_small = saved(tmp_path / "idx_small", 4)
+    p_full = saved(tmp_path / "idx_full", 8)
+
+    index = FlatIPIndex.load(p_small)
+    r = Retriever(IdentityEncoder(), None, index,
+                  embedding2id=np.arange(100, 104, dtype=np.int64))
+    srv = RetrieverHTTPServer(r, port=0, allow_reload=True).start()
+    try:
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 1] = 7  # row 7 exists only in the full index
+        _, body = _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        assert body["results"][0][0]["pid"] != 107  # not present yet
+
+        status, rep = _post(srv, "/reload", {"index": p_full})
+        assert status == 200 and rep["ntotal"] == 8
+        _, h = _get(srv, "/healthz")
+        assert h["ntotal"] == 8
+        _, body = _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        assert body["results"][0][0]["pid"] == 107
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv, "/reload", {"index": str(tmp_path / "missing")})
+        assert exc.value.code == 400
+    finally:
+        srv.shutdown()
+
+    # default-off servers refuse
+    srv2 = RetrieverHTTPServer(r, port=0).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv2, "/reload", {"index": p_full})
+        assert exc.value.code == 400
+        assert "disabled" in json.loads(exc.value.read())["error"]
+    finally:
+        srv2.shutdown()
+
+
 def test_concurrent_requests_serialize_on_device_lock(server):
     """Parallel clients get consistent, complete answers (device work is
     lock-serialized; HTTP threads overlap only host-side)."""
