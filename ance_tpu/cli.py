@@ -489,7 +489,45 @@ def cmd_ance_loop(args):
             metrics_logger=metrics, batch_transform=batch_transform)
         resumed = loop.resume()
         remaining = max(0, args.max_steps - resumed)
-        loop.run(remaining)
+        server = None
+        if args.http and host_id == 0:
+            # train + serve in ONE program: queries answer against the live
+            # refreshing index with the loop's own snapshot params
+            import numpy as np
+            from ance_tpu.serve import LoopRetriever
+            from ance_tpu.serve_http import RetrieverHTTPServer
+            if loop.index is None:
+                loop.bootstrap()  # serving needs the initial refresh
+            rows_per = getattr(loop, "_rows_per_record", 1) or 1
+            off2pid = _offset2id_lookup(args.data_dir, "pid2offset")
+            base = off2pid[np.arange(len(pc))] if off2pid is not None \
+                else np.arange(len(pc))
+            tokenizer = None
+            try:
+                tokenizer = _tokenizer_factory(spec.tokenizer_name,
+                                               args.model_name_or_path)()
+            except BaseException as e:
+                if isinstance(e, KeyboardInterrupt):
+                    raise
+                print(f"WARNING: no tokenizer ({e}); live serving accepts "
+                      "token arrays only", file=sys.stderr)
+            retriever = LoopRetriever(
+                loop, qfn, tokenizer=tokenizer,
+                max_query_length=args.max_query_length,
+                embedding2id=np.repeat(base.astype(np.int64), rows_per))
+            host, _, port = args.http.rpartition(":")
+            server = RetrieverHTTPServer(
+                retriever, host=host or "127.0.0.1", port=int(port),
+                pid_space="real" if off2pid is not None else "offset",
+                pad_token_id=model.config.pad_token_id).start()
+            addr = server.address
+            print(json.dumps({"live_serving": f"http://{addr[0]}:{addr[1]}",
+                              "ntotal": int(loop.index.ntotal)}), flush=True)
+        try:
+            loop.run(remaining)
+        finally:
+            if server is not None:
+                server.shutdown()
         loop.flush_checkpoints()
         if host_id == 0:
             ckpt.save_checkpoint(args.output_dir,
@@ -1223,6 +1261,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 HBM-resident index (half the bf16 footprint: "
                         "the full 8.8M MS MARCO corpus fits ONE v5e core); "
                         "per-dim scales snapshot from the first slice")
+    p.add_argument("--http", default=None, metavar="HOST:PORT",
+                   help="train AND serve in one program: answer /search "
+                        "against the live refreshing index with the loop's "
+                        "snapshot params (rank 0 only)")
     p.set_defaults(fn=cmd_ance_loop)
 
     p = sub.add_parser("seed-pretrain",

@@ -105,3 +105,47 @@ class Retriever:
                ) -> tuple[np.ndarray, np.ndarray]:
         ids, mask = self._tokenize(queries)
         return self.search_tokens(ids, mask, k)
+
+
+class LoopRetriever(Retriever):
+    """Retriever over a RUNNING :class:`~ance_tpu.train.pipelined.
+    PipelinedAnce` — train and serve in ONE program, the index always as
+    fresh as the loop's last refresh.
+
+    Queries encode with the loop's CURRENT refresh snapshot (the same
+    frozen params the index's slices were encoded with — the encoder/corpus
+    consistency ANCE's own dev-eval and mining rely on), searching the live
+    HBM-resident index in place. Mid-cycle the index mixes slices from two
+    consecutive snapshots; that is exactly the staleness contract ANCE
+    training itself accepts (reference README.md:21-24), now exposed to
+    serving. Device work from server threads interleaves with the loop's
+    via JAX's thread-safe dispatch; searches read whichever (immutable)
+    index arrays they grab — always a consistent array, never a torn one.
+    """
+
+    def __init__(self, loop, query_encode_fn, **kw):
+        self._loop = loop
+        super().__init__(query_encode_fn, params=None, index=None, **kw)
+
+    @property
+    def params(self):
+        return self._loop.snapshot
+
+    @params.setter
+    def params(self, value):
+        if value is not None:
+            raise AttributeError("LoopRetriever params follow the loop "
+                                 "snapshot; they cannot be set")
+
+    @property
+    def index(self):
+        if self._loop.index is None:
+            raise RuntimeError("loop index not built yet — bootstrap() "
+                               "(or resume past it) before serving")
+        return self._loop.index
+
+    @index.setter
+    def index(self, value):
+        if value is not None:
+            raise AttributeError("LoopRetriever serves the loop's live "
+                                 "index; it cannot be swapped")

@@ -404,3 +404,63 @@ def test_pipelined_checkpoint_is_async(tmp_path):
     for a, b in zip(jax.tree.leaves(opt_state),
                     jax.tree.leaves(loop.state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_live_serving_follows_the_loop(tmp_path):
+    """Train + serve in one program (LoopRetriever + HTTP layer): queries
+    answer against the live index with the loop's snapshot params, across
+    a refresh boundary, without restarting the server."""
+    import json
+    import urllib.request
+
+    from ance_tpu.serve import LoopRetriever
+    from ance_tpu.serve_http import RetrieverHTTPServer
+
+    cfg = PipelineConfig(train_steps_per_slice=4, encode_slice_size=16,
+                         encode_batch_size=16, batch_size=16,
+                         topk_training=32, negative_sample=8,
+                         ann_chunk_factor=1, dev_search_depth=32)
+    loop = _setup(tmp_path, cfg)
+    r = LoopRetriever(loop, loop.qfn)
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        r.index  # serving before the initial refresh must fail loudly
+
+    loop.bootstrap()
+    srv = RetrieverHTTPServer(r, port=0).start()
+    try:
+        host, port = srv.address
+        rs = np.random.RandomState(0)
+        ids = rs.randint(4, VOCAB, (2, QLEN)).astype(np.int32)
+        mask = np.ones_like(ids)
+        want_s, want_p = r.search_tokens(ids, mask, 5)
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/search",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+        body = post({"ids": ids.tolist(), "mask": mask.tolist(), "k": 5})
+        got_p = [[e["pid"] for e in row] for row in body["results"]]
+        assert got_p == [list(map(int, row)) for row in want_p]
+
+        # cross a refresh boundary: snapshot swaps, same server keeps
+        # answering with the NEW snapshot + refreshed index
+        snap0 = loop.snapshot
+        loop.run(44)
+        assert loop.refresh_no == 2
+        assert loop.snapshot is not snap0
+        body2 = post({"ids": ids.tolist(), "mask": mask.tolist(), "k": 5})
+        assert len(body2["results"][0]) == 5
+        want_s2, want_p2 = r.search_tokens(ids, mask, 5)
+        got_p2 = [[e["pid"] for e in row] for row in body2["results"]]
+        assert got_p2 == [list(map(int, row)) for row in want_p2]
+
+        # the live retriever refuses index/params swaps
+        with pytest.raises(AttributeError):
+            r.index = None.__class__  # anything non-None
+        with pytest.raises(AttributeError):
+            r.params = {}
+    finally:
+        srv.shutdown()
