@@ -490,6 +490,18 @@ def cmd_ance_loop(args):
         resumed = loop.resume()
         remaining = max(0, args.max_steps - resumed)
         server = None
+        if args.http and num_hosts > 1:
+            # a search from one host's server thread would dispatch
+            # collectives the other hosts never join → whole-job hang
+            raise SystemExit("ance-loop --http is single-host only; on a "
+                             "multi-host mesh run `ance serve` against "
+                             "exported checkpoints/index instead")
+        if args.http and remaining <= 0:
+            raise SystemExit(
+                "ance-loop --http: training is already complete (resumed "
+                f"step {resumed} >= max_steps {args.max_steps}) — the "
+                "server would bootstrap a full refresh and then exit "
+                "immediately; use `ance serve` for the final checkpoint")
         if args.http and host_id == 0:
             # train + serve in ONE program: queries answer against the live
             # refreshing index with the loop's own snapshot params
@@ -500,8 +512,18 @@ def cmd_ance_loop(args):
                 loop.bootstrap()  # serving needs the initial refresh
             rows_per = getattr(loop, "_rows_per_record", 1) or 1
             off2pid = _offset2id_lookup(args.data_dir, "pid2offset")
-            base = off2pid[np.arange(len(pc))] if off2pid is not None \
-                else np.arange(len(pc))
+            if off2pid is not None:
+                # same coverage guard as cmd_serve: a stale/mismatched
+                # pid2offset must fail loudly, not IndexError or silently
+                # serve unretrievable -1 pids
+                if len(off2pid) < len(pc) or \
+                        (np.asarray(off2pid[:len(pc)]) < 0).any():
+                    raise SystemExit("pid2offset does not cover the "
+                                     "passages cache — stale preprocess "
+                                     "artifacts under --data_dir?")
+                base = off2pid[np.arange(len(pc))]
+            else:
+                base = np.arange(len(pc))
             tokenizer = None
             try:
                 tokenizer = _tokenizer_factory(spec.tokenizer_name,
@@ -1068,7 +1090,7 @@ def _serve_with_index(args, spec, model, params, params_source,
                                      port=int(port), pid_space=pid_space,
                                      default_k=args.topk,
                                      pad_token_id=model.config.pad_token_id,
-                                     allow_reload=True)
+                                     allow_reload=args.allow_reload)
         addr = server.address
         print(json.dumps({"serving": f"http://{addr[0]}:{addr[1]}",
                           "params": params_source,
@@ -1386,6 +1408,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve ONLINE over HTTP instead of ranking a batch: "
                         "GET /healthz, POST /search {queries|ids, k} "
                         "(ance_tpu/serve_http.py)")
+    p.add_argument("--allow_reload", action="store_true",
+                   help="enable POST /reload (hot-swap a saved index by "
+                        "filesystem path) — only on trusted networks: any "
+                        "client of the bound address can repoint the index")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-hf",

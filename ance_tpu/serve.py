@@ -118,14 +118,37 @@ class LoopRetriever(Retriever):
     HBM-resident index in place. Mid-cycle the index mixes slices from two
     consecutive snapshots; that is exactly the staleness contract ANCE
     training itself accepts (reference README.md:21-24), now exposed to
-    serving. Device work from server threads interleaves with the loop's
-    via JAX's thread-safe dispatch; searches read whichever (immutable)
-    index arrays they grab — always a consistent array, never a torn one.
+    serving.
+
+    Concurrency: the loop's ``update_slice`` DONATES the previous index
+    buffer, so searches must not overlap a slice write — both sides take
+    ``loop.index_lock`` (writes are brief; reads between writes run fully
+    concurrent with training via JAX's thread-safe dispatch). When the loop
+    runs on a mesh, the query encode is jitted with the batch dim sharded,
+    so client batches are padded here to a multiple of the mesh size and
+    the padding rows stripped from the results. SINGLE-HOST only: on a
+    multi-host mesh a search dispatched from one host's server thread
+    would issue collectives the other hosts never join (the CLI refuses
+    --http there).
     """
 
     def __init__(self, loop, query_encode_fn, **kw):
         self._loop = loop
         super().__init__(query_encode_fn, params=None, index=None, **kw)
+
+    def search_tokens(self, ids: np.ndarray, mask: np.ndarray, k: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        mesh = getattr(self._loop, "mesh", None)
+        div = int(mesh.size) if mesh is not None else 1
+        B = ids.shape[0]
+        pad = (-B) % div
+        if pad:
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)], axis=0)
+            mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)],
+                                  axis=0)
+        with self._loop.index_lock:
+            scores, pids = super().search_tokens(ids, mask, k)
+        return scores[:B], pids[:B]
 
     @property
     def params(self):

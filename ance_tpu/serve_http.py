@@ -71,7 +71,7 @@ class RetrieverHTTPServer:
         self._device_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._stats = {"requests": 0, "queries": 0, "errors": 0,
-                       "latency_ms_ewma": 0.0}
+                       "reloads": 0, "latency_ms_ewma": 0.0}
         self._stats_lock = threading.Lock()
         outer = self
 
@@ -108,12 +108,17 @@ class RetrieverHTTPServer:
             def do_POST(self):
                 if self.path not in ("/search", "/reload"):
                     return self._reply(404, {"error": "unknown path"})
+                # every POST counts as a request, success or not, so
+                # errors/requests is a valid rate
+                outer._count(requests=1)
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     if n > MAX_BODY_BYTES:
+                        outer._count(errors=1)
                         return self._reply(413, {"error": "body too large"})
                     req = json.loads(self.rfile.read(n))
                 except (ValueError, json.JSONDecodeError) as e:
+                    outer._count(errors=1)
                     return self._reply(400, {"error": f"bad json: {e}"})
                 try:
                     payload = outer._reload(req) if self.path == "/reload" \
@@ -134,11 +139,12 @@ class RetrieverHTTPServer:
         return self._server.server_address[:2]
 
     def _count(self, requests: int = 0, queries: int = 0, errors: int = 0,
-               latency_ms: Optional[float] = None) -> None:
+               reloads: int = 0, latency_ms: Optional[float] = None) -> None:
         with self._stats_lock:
             self._stats["requests"] += requests
             self._stats["queries"] += queries
             self._stats["errors"] += errors
+            self._stats["reloads"] += reloads
             if latency_ms is not None:
                 prev = self._stats["latency_ms_ewma"]
                 self._stats["latency_ms_ewma"] = latency_ms if prev == 0 \
@@ -153,9 +159,16 @@ class RetrieverHTTPServer:
         if not isinstance(req, dict) or not isinstance(req.get("index"), str):
             raise _BadRequest("need {'index': '/path/to/saved_index'}")
         from ance_tpu.index.flat import FlatIPIndex
+        from ance_tpu.index.ivf import IVFIPIndex
         path = req["index"]
         try:
-            new_index = FlatIPIndex.load(path)
+            # the file carries its own kind (same detection as the serve
+            # CLI's --load_index): an IVF artifact must reload as IVF
+            lp = path if path.endswith(".npz") else path + ".npz"
+            with np.load(lp, allow_pickle=False) as z:
+                is_ivf = "bins_emb" in z.files
+            cls = IVFIPIndex if is_ivf else FlatIPIndex
+            new_index = cls.load(path)
             e2id = np.load(path + ".ids.npy").astype(np.int64)
         except (OSError, ValueError, KeyError) as e:
             raise _BadRequest(f"cannot load index {path!r}: {e}")
@@ -164,7 +177,9 @@ class RetrieverHTTPServer:
         with self._device_lock:
             self.retriever.index = new_index
             self.retriever.embedding2id = e2id
-        return {"reloaded": path, "ntotal": int(new_index.ntotal)}
+        self._count(reloads=1)
+        return {"reloaded": path, "kind": "ivf" if is_ivf else "flat",
+                "ntotal": int(new_index.ntotal)}
 
     def _search(self, req: dict) -> dict:
         if not isinstance(req, dict):
@@ -210,8 +225,8 @@ class RetrieverHTTPServer:
         else:
             raise _BadRequest("need 'queries' (text) or 'ids' (+'mask')")
         ms = (time.perf_counter() - t0) * 1000.0
-        self._count(requests=1, queries=int(np.asarray(pids).shape[0]),
-                    latency_ms=ms)
+        # requests counted in do_POST (success or failure)
+        self._count(queries=int(np.asarray(pids).shape[0]), latency_ms=ms)
         results = [
             [{"pid": int(p), "score": float(s)}
              for p, s in zip(prow, srow) if p >= 0]

@@ -39,6 +39,7 @@ import dataclasses
 import functools
 import logging
 import random
+import threading
 import time
 from typing import Callable, Mapping, Optional
 
@@ -133,6 +134,14 @@ class PipelinedAnce:
         if cfg.num_hosts > 1 and mesh is None:
             raise ValueError("multi-host pipelined mode requires a mesh")
         self.index: Optional[FlatIPIndex] = None
+        # serializes index buffer REPLACEMENT against live-serving readers:
+        # update_slice DONATES the old embedding buffer (flat.py
+        # _build_update), so a concurrent search that grabbed the old
+        # reference would hit a deleted array. Writers (this loop's thread)
+        # and external readers (serve.LoopRetriever) both take this lock;
+        # loop-internal reads (dev search, mining) run on the writer thread
+        # and need no lock.
+        self.index_lock = threading.Lock()
         self.refresh_no = 0
         self._refresh_t0 = time.perf_counter()
         self.snapshot = self._snapshot_params()
@@ -228,7 +237,8 @@ class PipelinedAnce:
                 clipped = self._clip_count_fn(emb, self.index._scales)
             self._cyc.setdefault("clip_counts", []).append(
                 (clipped, emb.size))
-        self.index.update_slice(start * self._rows_per_record, emb)
+        with self.index_lock:
+            self.index.update_slice(start * self._rows_per_record, emb)
 
     def _host_kwargs(self) -> dict:
         """Encode-path fan-out args: every host feeds its block of each

@@ -464,3 +464,53 @@ def test_live_serving_follows_the_loop(tmp_path):
             r.params = {}
     finally:
         srv.shutdown()
+
+
+def test_live_serving_concurrent_with_training(tmp_path):
+    """Searches hammered from server threads WHILE the loop trains and
+    writes index slices: every request answers 200 (the index_lock keeps
+    donated-buffer slice writes and live searches from overlapping)."""
+    import json
+    import threading
+    import urllib.request
+
+    from ance_tpu.serve import LoopRetriever
+    from ance_tpu.serve_http import RetrieverHTTPServer
+
+    cfg = PipelineConfig(train_steps_per_slice=2, encode_slice_size=16,
+                         encode_batch_size=16, batch_size=16,
+                         topk_training=32, negative_sample=8,
+                         ann_chunk_factor=1, dev_search_depth=32)
+    loop = _setup(tmp_path, cfg)
+    loop.bootstrap()
+    srv = RetrieverHTTPServer(LoopRetriever(loop, loop.qfn), port=0).start()
+    try:
+        host, port = srv.address
+        errors = []
+
+        def hammer():
+            rs = np.random.RandomState(7)
+            for _ in range(15):
+                ids = rs.randint(4, VOCAB, (1, QLEN)).astype(np.int32)
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/search",
+                    data=json.dumps({"ids": ids.tolist(), "k": 3}).encode(),
+                    headers={"Content-Type": "application/json"})
+                try:
+                    body = json.loads(
+                        urllib.request.urlopen(req, timeout=30).read())
+                    assert len(body["results"][0]) == 3
+                except Exception as e:  # collected, not raised mid-thread
+                    errors.append(repr(e))
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        loop.run(60)  # crosses slice writes + a refresh boundary
+        t.join(timeout=60)
+        assert not t.is_alive(), "hammer thread hung"
+        assert not errors, errors
+        _, m = json.loads(urllib.request.urlopen(
+            f"http://{host}:{port}/metrics", timeout=10).read()), None
+        assert _["errors"] == 0 and _["requests"] == 15
+    finally:
+        srv.shutdown()

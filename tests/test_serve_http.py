@@ -203,7 +203,9 @@ def test_metrics_endpoint():
             _post(srv, "/search", {"k": 1})  # counted as an error
         status, m = _get(srv, "/metrics")
         assert status == 200
-        assert m["requests"] == 2 and m["queries"] == 6
+        # requests counts EVERY POST (errors included) so errors/requests
+        # is a valid rate
+        assert m["requests"] == 3 and m["queries"] == 6
         assert m["errors"] == 1 and m["latency_ms_ewma"] > 0
     finally:
         srv.shutdown()
@@ -235,6 +237,9 @@ def test_reload_hot_swaps_saved_index(tmp_path):
 
         status, rep = _post(srv, "/reload", {"index": p_full})
         assert status == 200 and rep["ntotal"] == 8
+        assert rep["kind"] == "flat"
+        _, m = _get(srv, "/metrics")
+        assert m["reloads"] == 1
         _, h = _get(srv, "/healthz")
         assert h["ntotal"] == 8
         _, body = _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
