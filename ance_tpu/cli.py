@@ -56,6 +56,23 @@ class _tokenizer_factory:
         return AutoTokenizer.from_pretrained(self.name)
 
 
+def _parse_host_port(spec: str) -> tuple[str, int]:
+    """Validate a ``--http HOST:PORT`` value: a missing or non-numeric port
+    is a usage error (clean SystemExit), not a ValueError traceback. IPv6
+    literals must be bracketed (``[::1]:8080``) — bare colons are ambiguous."""
+    host, sep, port = spec.rpartition(":")
+    if not sep or not port.isdigit():
+        raise SystemExit(f"--http expects HOST:PORT (got {spec!r}), "
+                         "e.g. 127.0.0.1:8080 or [::1]:8080")
+    if ":" in host and not (host.startswith("[") and host.endswith("]")):
+        raise SystemExit(f"--http IPv6 hosts must be bracketed (got "
+                         f"{spec!r}), e.g. [::1]:8080")
+    port_num = int(port)
+    if not 0 <= port_num <= 65535:
+        raise SystemExit(f"--http port {port_num} out of range [0, 65535]")
+    return host.strip("[]") or "127.0.0.1", port_num
+
+
 def _add_common_model_flags(p):
     p.add_argument("--model_type", default="rdot_nll",
                    help="registry key (rdot_nll | rdot_nll_multi_chunk | "
@@ -537,9 +554,9 @@ def cmd_ance_loop(args):
                 loop, qfn, tokenizer=tokenizer,
                 max_query_length=args.max_query_length,
                 embedding2id=np.repeat(base.astype(np.int64), rows_per))
-            host, _, port = args.http.rpartition(":")
+            host, port = _parse_host_port(args.http)
             server = RetrieverHTTPServer(
-                retriever, host=host or "127.0.0.1", port=int(port),
+                retriever, host=host, port=port,
                 pid_space="real" if off2pid is not None else "offset",
                 pad_token_id=model.config.pad_token_id).start()
             addr = server.address
@@ -1085,9 +1102,9 @@ def _serve_with_index(args, spec, model, params, params_source,
 
     if args.http:
         from ance_tpu.serve_http import RetrieverHTTPServer
-        host, _, port = args.http.rpartition(":")
-        server = RetrieverHTTPServer(retriever, host=host or "127.0.0.1",
-                                     port=int(port), pid_space=pid_space,
+        host, port = _parse_host_port(args.http)
+        server = RetrieverHTTPServer(retriever, host=host,
+                                     port=port, pid_space=pid_space,
                                      default_k=args.topk,
                                      pad_token_id=model.config.pad_token_id,
                                      allow_reload=args.allow_reload)

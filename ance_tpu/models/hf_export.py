@@ -94,20 +94,34 @@ def torch_robertadot_state_dict(params: Mapping) -> dict:
 
 def torch_seed_encoder_state_dict(
         params: Mapping,
-        prefix: str = "seed_encoder.encoder.sentence_encoder.") -> dict:
+        prefix: str = "seed_encoder.encoder.sentence_encoder.",
+        fairseq_position_rows: int | None = 514) -> dict:
     """TransformerEncoder params (SEED flavor: no segment table) → fairseq
     TransformerSentenceEncoder keys (inverse of
     hf_loader.seed_encoder_params_from_torch; reference
     transformer_sentence_encoder.py:695-925). The default prefix matches an
     HF-saved SEED checkpoint (modeling_seed_encoder.py:115-135), so a SEED
     model pretrained here (train/seed_pretrain.py) can warm-start the
-    reference's fine-tuning drivers."""
+    reference's fine-tuning drivers.
+
+    ``fairseq_position_rows``: fairseq's LearnedPositionalEmbedding allocates
+    max_positions + pad + 1 rows (512 + 1 + 1 = 514), while our configs keep
+    headroom (seed_encoder_config default 516); the import direction
+    zero-pads 514→516 (hf_loader._pad_position_table), so the exact inverse
+    is slicing back — otherwise the reference hits a strict-load size
+    mismatch on embed_positions.weight. Rows ≥ 514 are never indexed at
+    seq ≤ 512, so the slice is lossless. Tables already at or below the
+    fairseq row count (e.g. tiny test geometries) export verbatim; pass
+    ``None`` to always export verbatim."""
     sd: dict = {}
     emb = params["embeddings"]
     p = prefix
     sd[p + "embed_tokens.weight"] = _t(emb["word_embeddings"]["embedding"])
-    sd[p + "embed_positions.weight"] = _t(
-        emb["position_embeddings"]["embedding"])
+    pos = np.asarray(emb["position_embeddings"]["embedding"], np.float32)
+    if fairseq_position_rows is not None and \
+            pos.shape[0] > fairseq_position_rows:
+        pos = pos[:fairseq_position_rows]
+    sd[p + "embed_positions.weight"] = _t(pos)
     _layer_norm_out(sd, p + "emb_layer_norm", emb["layer_norm"])
     i = 0
     while f"layer_{i}" in params:
@@ -130,18 +144,21 @@ def torch_seed_encoder_state_dict(
     return sd
 
 
-def torch_seeddot_state_dict(params: Mapping) -> dict:
+def torch_seeddot_state_dict(params: Mapping,
+                             fairseq_position_rows: int | None = 514) -> dict:
     """seeddot_nll params → the reference SEEDEncoderDot_NLL_LN state dict
     (fairseq sentence-encoder backbone + embeddingHead/norm,
     reference model/models.py:201-221)."""
-    sd = torch_seed_encoder_state_dict(params["encoder"])
+    sd = torch_seed_encoder_state_dict(
+        params["encoder"], fairseq_position_rows=fairseq_position_rows)
     if "embedding_head" in params:
         _dense_out(sd, "embeddingHead", params["embedding_head"])
         _layer_norm_out(sd, "norm", params["norm"])
     return sd
 
 
-def torch_seed_mlm_state_dict(params: Mapping) -> dict:
+def torch_seed_mlm_state_dict(params: Mapping,
+                              fairseq_position_rows: int | None = 514) -> dict:
     """SeedForMaskedLM params (train/seed_pretrain.py output) → an HF-saved
     SEED checkpoint state dict (inverse of
     hf_loader.seed_mlm_params_from_torch): encoder under
@@ -149,7 +166,8 @@ def torch_seed_mlm_state_dict(params: Mapping) -> dict:
     LM head at ``lm_head.*`` (reference modeling_seed_encoder.py:136-183) —
     so a SEED model PRETRAINED HERE can continue pretraining or fine-tune
     in the reference stack."""
-    sd = torch_seed_encoder_state_dict(params["encoder"])
+    sd = torch_seed_encoder_state_dict(
+        params["encoder"], fairseq_position_rows=fairseq_position_rows)
     d = "decoder."
     i = 0
     while f"decoder_layer_{i}" in params:
@@ -180,12 +198,29 @@ def torch_seed_mlm_state_dict(params: Mapping) -> dict:
 def torch_biencoder_model_dict(params: Mapping) -> dict:
     """BiEncoder params → the DPR ``model_dict`` (``question_model.*`` /
     ``ctx_model.*`` bare-BertModel keys — HFBertEncoder IS a BertModel,
-    reference model/models.py:223-244)."""
+    reference model/models.py:223-244).
+
+    BertModel always instantiates a pooler, and the reference restores
+    CheckpointState with a strict ``load_state_dict``
+    (run_ann_dpr.py _load_saved_state), so ``pooler.dense.*`` keys must be
+    present even though our towers have no pooler: HFBertEncoder.forward
+    discards pooled_output in favor of sequence_output[:, 0]
+    (reference model/models.py:252-260), so freshly-initialized values are
+    inert. We emit a deterministic BERT-style init (N(0, 0.02) weight,
+    zero bias) so exports are byte-reproducible."""
     sd: dict = {}
     for tower in ("question_model", "ctx_model"):
         tower_sd = torch_encoder_state_dict(params[tower]["encoder"])
         for k, v in tower_sd.items():
             sd[f"{tower}.{k}"] = v
+        hidden = int(np.shape(
+            params[tower]["encoder"]["embeddings"]["word_embeddings"]
+            ["embedding"])[1])
+        rng = np.random.default_rng(0)
+        sd[f"{tower}.pooler.dense.weight"] = _t(
+            rng.normal(0.0, 0.02, (hidden, hidden)).astype(np.float32))
+        sd[f"{tower}.pooler.dense.bias"] = _t(
+            np.zeros((hidden,), np.float32))
     return sd
 
 

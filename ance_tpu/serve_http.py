@@ -89,21 +89,31 @@ class RetrieverHTTPServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
-                    return self._reply(200, {
-                        "status": "ok",
-                        "ntotal": int(outer.retriever.index.ntotal),
-                        "pid_space": outer.pid_space,
-                        "max_k": outer.max_k,
-                        "max_batch": outer.max_batch,
-                    })
-                if self.path == "/metrics":
-                    with outer._stats_lock:
-                        return self._reply(200, dict(
-                            outer._stats,
-                            latency_ms_ewma=round(
-                                outer._stats["latency_ms_ewma"], 2)))
-                self._reply(404, {"error": "unknown path"})
+                # guarded like do_POST: a LoopRetriever before bootstrap (or
+                # any index error) must yield a JSON 5xx, not a dead handler
+                # thread and a client-side connection reset
+                try:
+                    if self.path == "/healthz":
+                        return self._reply(200, {
+                            "status": "ok",
+                            "ntotal": int(outer.retriever.index.ntotal),
+                            "pid_space": outer.pid_space,
+                            "max_k": outer.max_k,
+                            "max_batch": outer.max_batch,
+                        })
+                    if self.path == "/metrics":
+                        with outer._stats_lock:
+                            return self._reply(200, dict(
+                                outer._stats,
+                                latency_ms_ewma=round(
+                                    outer._stats["latency_ms_ewma"], 2)))
+                    self._reply(404, {"error": "unknown path"})
+                except RuntimeError as e:
+                    # LoopRetriever.index before bootstrap: not broken,
+                    # just not serving yet
+                    self._reply(503, {"status": "starting", "error": str(e)})
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
             def do_POST(self):
                 if self.path not in ("/search", "/reload"):
@@ -161,6 +171,11 @@ class RetrieverHTTPServer:
         from ance_tpu.index.flat import FlatIPIndex
         from ance_tpu.index.ivf import IVFIPIndex
         path = req["index"]
+        # a previously mesh-sharded index must not silently become
+        # single-device after reload: carry the live index's mesh/axis over
+        old = self.retriever.index
+        mesh = getattr(old, "mesh", None)
+        axis = getattr(old, "axis", "data")
         try:
             # the file carries its own kind (same detection as the serve
             # CLI's --load_index): an IVF artifact must reload as IVF
@@ -168,7 +183,7 @@ class RetrieverHTTPServer:
             with np.load(lp, allow_pickle=False) as z:
                 is_ivf = "bins_emb" in z.files
             cls = IVFIPIndex if is_ivf else FlatIPIndex
-            new_index = cls.load(path)
+            new_index = cls.load(path, mesh=mesh, axis=axis)
             e2id = np.load(path + ".ids.npy").astype(np.int64)
         except (OSError, ValueError, KeyError) as e:
             raise _BadRequest(f"cannot load index {path!r}: {e}")
@@ -177,6 +192,9 @@ class RetrieverHTTPServer:
         with self._device_lock:
             self.retriever.index = new_index
             self.retriever.embedding2id = e2id
+            # the sidecar contract is REAL pids: a server started in
+            # pid_space='offset' must report/serve real pids after a reload
+            self.pid_space = "real"
         self._count(reloads=1)
         return {"reloaded": path, "kind": "ivf" if is_ivf else "flat",
                 "ntotal": int(new_index.ntotal)}

@@ -74,3 +74,17 @@ def test_eval_subcommand(tmp_path, capsys):
     main(["eval", str(ref), str(cand)])
     out = capsys.readouterr().out
     assert "MRR @10: 0.5" in out
+
+
+def test_parse_host_port_validates():
+    """--http HOST:PORT parsing: a missing or non-numeric port is a clean
+    usage error (SystemExit), not a ValueError traceback; bracketed IPv6
+    works; bare-colon IPv6 is rejected as ambiguous."""
+    from ance_tpu.cli import _parse_host_port
+
+    assert _parse_host_port("127.0.0.1:8080") == ("127.0.0.1", 8080)
+    assert _parse_host_port(":8080") == ("127.0.0.1", 8080)
+    assert _parse_host_port("[::1]:8080") == ("::1", 8080)
+    for bad in ("myhost", "host:", "host:abc", "::1", "host:70000"):
+        with pytest.raises(SystemExit):
+            _parse_host_port(bad)

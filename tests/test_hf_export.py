@@ -212,6 +212,74 @@ def test_cli_export_hf(tmp_path, capsys):
               "--out_dir", str(tmp_path / "out2")])
 
 
+def test_dpr_export_covers_bert_state_dict():
+    """The reference restores CheckpointState with a STRICT load_state_dict
+    into HFBertEncoder towers — which are BertModels WITH a pooler
+    (run_ann_dpr.py:401, model/models.py:223-244) — so the exported
+    model_dict must carry every key a real BertModel expects, including the
+    inert ``pooler.dense.*`` pair (HFBertEncoder.forward discards
+    pooled_output for sequence_output[:, 0])."""
+    from ance_tpu.models.hf_export import torch_biencoder_model_dict
+
+    cfg = EncoderConfig.bert_base(vocab_size=120, hidden_size=32,
+                                  num_layers=2, num_heads=4,
+                                  intermediate_size=64,
+                                  max_position_embeddings=40,
+                                  hidden_dropout=0.0, attention_dropout=0.0)
+    model = BiEncoder(cfg)
+    ids, mask = _batch(pad_id=0, vocab=120)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(5), jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(ids), jnp.asarray(mask))["params"]
+    sd = torch_biencoder_model_dict(params)
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=cfg.type_vocab_size,
+        pad_token_id=0, attn_implementation="eager")
+    bert = transformers.BertModel(hf_cfg)  # pooler on: the reference's shape
+    for tower in ("question_model", "ctx_model"):
+        tower_sd = {k[len(tower) + 1:]: v for k, v in sd.items()
+                    if k.startswith(tower + ".")}
+        # strict load — exactly what _load_saved_state does
+        bert.load_state_dict(tower_sd, strict=True)
+        assert f"{tower}.pooler.dense.weight" in sd
+        assert f"{tower}.pooler.dense.bias" in sd
+
+
+def test_seed_export_slices_position_table_to_fairseq_rows():
+    """seed_encoder_config keeps 516 position rows of headroom; fairseq's
+    LearnedPositionalEmbedding allocates max_positions+pad+1 = 514, and the
+    reference loads strictly — the export must slice back (the exact inverse
+    of hf_loader._pad_position_table) or the reference hits a size
+    mismatch."""
+    from ance_tpu.models.hf_export import torch_seed_encoder_state_dict
+    from ance_tpu.models.hf_loader import seed_encoder_params_from_torch
+    from ance_tpu.models.seed import seed_encoder_config
+    from ance_tpu.models.transformer import TransformerEncoder
+
+    cfg = seed_encoder_config(vocab_size=64, hidden_size=16, num_layers=1,
+                              num_heads=2, intermediate_size=32,
+                              hidden_dropout=0.0, attention_dropout=0.0)
+    assert cfg.max_position_embeddings == 516  # the default headroom
+    enc = TransformerEncoder(cfg)
+    ids = jnp.ones((1, 4), jnp.int32)
+    params = jax.device_get(jax.jit(enc.init)(
+        jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"])
+
+    sd = torch_seed_encoder_state_dict(params)
+    pos = sd["seed_encoder.encoder.sentence_encoder.embed_positions.weight"]
+    assert tuple(pos.shape) == (514, 16)
+
+    # import pads 514 back to 516 with zeros: the indexed rows round-trip
+    back = seed_encoder_params_from_torch(sd)
+    orig = np.asarray(params["embeddings"]["position_embeddings"]["embedding"])
+    got = np.asarray(back["embeddings"]["position_embeddings"]["embedding"])
+    np.testing.assert_array_equal(got[:514], orig[:514])
+    np.testing.assert_array_equal(got[514:], 0.0)
+
+
 def test_seed_mlm_export_import_roundtrip():
     """Full pretraining tree (encoder + windowed decoder + LM head) out to
     the HF-saved fairseq naming and back — the artifact a reference user

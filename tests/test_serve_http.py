@@ -262,6 +262,63 @@ def test_reload_hot_swaps_saved_index(tmp_path):
         srv2.shutdown()
 
 
+def test_reload_resets_pid_space_and_keeps_mesh(tmp_path):
+    """The reload sidecar contract is REAL pids: a server started in
+    pid_space='offset' must report 'real' after a swap, and a mesh-sharded
+    index must come back sharded over the SAME mesh, not single-device."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    idx = FlatIPIndex(dim=8, method="scan", mesh=mesh)
+    idx.add(np.eye(8, dtype=np.float32))
+    idx.save(str(tmp_path / "idx"))
+    np.save(str(tmp_path / "idx") + ".ids.npy",
+            np.arange(200, 208, dtype=np.int64))
+
+    r = Retriever(IdentityEncoder(), None, idx,
+                  embedding2id=np.arange(8, dtype=np.int64))
+    srv = RetrieverHTTPServer(r, port=0, pid_space="offset",
+                              allow_reload=True).start()
+    try:
+        _, h = _get(srv, "/healthz")
+        assert h["pid_space"] == "offset"
+        status, rep = _post(srv, "/reload", {"index": str(tmp_path / "idx")})
+        assert status == 200
+        _, h = _get(srv, "/healthz")
+        assert h["pid_space"] == "real"
+        assert r.index.mesh is mesh and r.index.axis == "data"
+        # and searches now resolve through the sidecar's real pids
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 1] = 3
+        _, body = _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        assert body["results"][0][0]["pid"] == 203
+    finally:
+        srv.shutdown()
+
+
+def test_healthz_503_while_loop_index_not_built():
+    """GET handlers are exception-guarded: a LoopRetriever before bootstrap
+    yields a JSON 503 'starting', not a dead handler thread and a client
+    connection reset."""
+    class _Stub:
+        tokenizer = None
+
+        @property
+        def index(self):
+            raise RuntimeError("loop index not built yet")
+
+    srv = RetrieverHTTPServer(_Stub(), port=0).start()
+    try:
+        host, port = srv.address
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://{host}:{port}/healthz",
+                                   timeout=10)
+        assert exc.value.code == 503
+        assert json.loads(exc.value.read())["status"] == "starting"
+    finally:
+        srv.shutdown()
+
+
 def test_concurrent_requests_serialize_on_device_lock(server):
     """Parallel clients get consistent, complete answers (device work is
     lock-serialized; HTTP threads overlap only host-side)."""
