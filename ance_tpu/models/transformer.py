@@ -192,8 +192,15 @@ class SelfAttention(nn.Module):
                 return y.reshape(B, S, H, D)
 
             q, k, v = proj("query"), proj("key"), proj("value")
-        ctx = multi_head_attention(q, k, v, attention_mask,
-                                   impl=cfg.attention_impl)
+        # training-time attention-probs dropout (the reference's
+        # attention_probs_dropout_prob, applied after softmax); rate 0 or
+        # eval keeps the kernel crossovers dropout-free
+        attn_rate = 0.0 if deterministic else cfg.attention_dropout
+        ctx = multi_head_attention(
+            q, k, v, attention_mask, impl=cfg.attention_impl,
+            dropout_rate=attn_rate,
+            dropout_rng=(self.make_rng("dropout") if attn_rate > 0.0
+                         else None))
         ctx = ctx.reshape(B, S, cfg.hidden_size)
         if noisy:
             op = ProjParams(cfg.hidden_size, cfg.hidden_size, init, name="out")

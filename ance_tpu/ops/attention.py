@@ -30,7 +30,9 @@ def mask_to_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   bias: jax.Array | None = None,
-                  softmax_dtype=jnp.float32) -> jax.Array:
+                  softmax_dtype=jnp.float32,
+                  dropout_rate: float = 0.0,
+                  dropout_rng: jax.Array | None = None) -> jax.Array:
     """Scaled dot-product attention, softmax accumulated in ``softmax_dtype``.
 
     q/k/v: [B, S, H, D]; bias broadcastable to [B, H, S, S]. Returns [B, S, H, D].
@@ -39,6 +41,10 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     the dominant attention cost at short seq where score FLOPs are ~1% of
     the model (perf knob; jax.nn.softmax max-subtracts, so bf16 is stable,
     but keep fp32 for strict reference parity).
+
+    ``dropout_rate`` > 0 applies inverted dropout to the softmax WEIGHTS
+    (the reference's attention_probs_dropout_prob — HF BertSelfAttention
+    drops whole prob entries after softmax, before the PV matmul).
     """
     depth = q.shape[-1]
     scale = jnp.asarray(1.0 / jnp.sqrt(depth), softmax_dtype)
@@ -47,6 +53,13 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if bias is not None:
         logits = logits + bias.astype(softmax_dtype)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("attention dropout needs a dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate),
+                            jnp.zeros_like(weights))
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
@@ -64,7 +77,9 @@ def _fused_fn():
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          attention_mask: jax.Array | None = None,
-                         *, impl: str = "xla") -> jax.Array:
+                         *, impl: str = "xla",
+                         dropout_rate: float = 0.0,
+                         dropout_rng: jax.Array | None = None) -> jax.Array:
     """Dispatch over attention implementations. q/k/v: [B, S, H, D].
 
     ``xla``   — einsum + fp32 softmax (reference semantics, CPU-safe)
@@ -77,7 +92,15 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 logits-HBM saving there), fused for 256–1024 (15% faster
                 fwd / 10% fwd+bwd at the MaxP 512-chunk shape), flash above
                 (scoreboards no longer fit VMEM); CPU always XLA.
+
+    ``dropout_rate`` > 0 (training-time attention-probs dropout, the
+    reference's attention_probs_dropout_prob) is implemented by the XLA
+    paths only — the Pallas kernels never materialize the prob matrix to
+    drop from — so dropout forces the xla/xla_bf16 path regardless of
+    ``impl``. Inference (rate 0) keeps the measured kernel crossovers.
     """
+    if dropout_rate > 0.0 and impl in ("fused", "flash", "auto"):
+        impl = "xla_bf16" if q.dtype == jnp.bfloat16 else "xla"
     if impl == "auto":
         S = q.shape[1]
         # Pallas kernels here are Mosaic/TPU-only — any other backend (cpu,
@@ -96,5 +119,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         return _fused_fn()(q, k, v, attention_mask)
     bias = None if attention_mask is None else mask_to_bias(attention_mask)
     if impl == "xla_bf16":
-        return xla_attention(q, k, v, bias, softmax_dtype=jnp.bfloat16)
-    return xla_attention(q, k, v, bias)
+        return xla_attention(q, k, v, bias, softmax_dtype=jnp.bfloat16,
+                             dropout_rate=dropout_rate,
+                             dropout_rng=dropout_rng)
+    return xla_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                         dropout_rng=dropout_rng)

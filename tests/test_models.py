@@ -360,3 +360,32 @@ def test_bf16_fast_path_within_bf16_noise():
     strict_fp32 = emb(EncoderConfig(dtype=jnp.float32, gelu_approx=False,
                                     attention_impl="xla", **kw))
     np.testing.assert_array_equal(ref, strict_fp32)
+
+
+def test_attention_probs_dropout_applies_in_training():
+    """attention_dropout is the reference's attention_probs_dropout_prob
+    (HF BertSelfAttention drops softmax probs after softmax): it must
+    engage in training mode, stay off at eval, and keep the inverted-
+    dropout scaling unbiased."""
+    kw = dict(vocab_size=64, hidden_size=16, num_layers=1, num_heads=2,
+              intermediate_size=32, max_position_embeddings=24,
+              hidden_dropout=0.0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(4, 64, (4, 12)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    def run(cfg, det, seed=0):
+        enc = TransformerEncoder(cfg)
+        params = jax.jit(enc.init)(jax.random.PRNGKey(1), ids, mask)["params"]
+        return np.asarray(enc.apply(
+            {"params": params}, ids, mask, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.PRNGKey(seed)}))
+
+    drop = EncoderConfig(attention_dropout=0.5, **kw)
+    nodrop = EncoderConfig(attention_dropout=0.0, **kw)
+
+    # eval identical with and without the knob; training differs run to run
+    np.testing.assert_array_equal(run(drop, True), run(nodrop, True))
+    assert not np.array_equal(run(drop, False, 2), run(drop, False, 3))
+    # rate 0 training == eval (no other stochastic op in this config)
+    np.testing.assert_array_equal(run(nodrop, False), run(nodrop, True))
