@@ -105,6 +105,62 @@ class TripletBatches:
                    "neg_ids": n_ids, "neg_mask": n_mask}
 
 
+def prefetch_batches(batches: Iterator[dict], depth: int = 4
+                     ) -> Iterator[dict]:
+    """Stage batches ahead on a background thread (SURVEY §7.3's
+    "mmap + prefetch workers"; replaces the reference's DataLoader
+    num_workers overlap, reference run_ann.py:230-235).
+
+    The gather work in TripletBatches is numpy page-faulting into the
+    mmapped caches — pure IO-wait that releases the GIL — so one thread
+    overlaps it with the device step even on a 1-core host. ``depth``
+    bounds staged batches (each ~a few hundred KB) so a stalled consumer
+    can't balloon memory. Worker exceptions re-raise at the consumer;
+    closing the generator (or dropping it) unblocks and ends the worker.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            item = _END
+        except BaseException as e:  # re-raised consumer-side
+            item = e
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="ance-feed-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def infinite_batches(batches: TripletBatches) -> Iterator[dict]:
     """Re-iterate forever (reference run_ann.py:230-235 re-iterates the
     StreamingDataset on StopIteration)."""

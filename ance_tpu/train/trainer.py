@@ -136,23 +136,48 @@ def triplet_loss_fn(model, multichunk: bool = False,
     return loss_fn
 
 
+def fast_dropout_key(rng: jax.Array) -> jax.Array:
+    """Derive an ``rbg`` key (XLA RngBitGenerator — the TPU's hardware RNG)
+    from a threefry key.
+
+    Measured motivation (docs/perf_train_r5.py, v5e): dropout RNG is 55 ms
+    of the 142 ms b64 train step — threefry generates ~460M bernoulli draws
+    per step in software integer ops on the VPU. The rbg impl lowers to the
+    hardware generator. Draws remain iid Bernoulli, but the STREAM differs
+    from threefry's and is not guaranteed bit-stable across shardings or
+    compiler versions — fine for dropout, wrong for anything that must
+    reproduce bit-for-bit, which is why this is opt-in per train step."""
+    data = jax.random.bits(rng, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def make_train_step(loss_fn: Callable, optimizer,
                     accum_steps: int = 1,
                     mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
+                    data_axis: str = "data",
+                    fast_dropout_rng: Optional[bool] = None) -> Callable:
     """Build the jitted step: (state, batch, rng) → (state, metrics).
 
     With ``accum_steps > 1`` each batch's leading dim must be divisible by
     it; microbatches run sequentially under ``lax.scan`` and gradients
     average, matching torch grad-accumulation loss scaling
     (reference run_ann.py:263-268 loss/accum).
+
+    ``fast_dropout_rng`` converts the step's dropout stream to the TPU
+    hardware RNG (see :func:`fast_dropout_key`; measured 1.36× at b64).
+    Default: on for TPU backends, off elsewhere (CPU tests keep threefry's
+    bit-stable cross-sharding streams).
     """
+    if fast_dropout_rng is None:
+        fast_dropout_rng = jax.default_backend() == "tpu"
 
     def split_micro(x):
         return x.reshape((accum_steps, x.shape[0] // accum_steps) +
                          x.shape[1:])
 
     def step_fn(state: TrainState, batch, dropout_rng):
+        if fast_dropout_rng:
+            dropout_rng = fast_dropout_key(dropout_rng)
         grad_fn = jax.value_and_grad(loss_fn)
 
         if accum_steps == 1:

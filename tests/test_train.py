@@ -233,3 +233,45 @@ def test_maxp_multichunk_training_step(tmp_path):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # same batch repeated → must improve
+
+
+def test_prefetch_batches_identity_and_errors(tmp_path):
+    """prefetch_batches yields exactly the wrapped iterator's batches in
+    order, re-raises worker exceptions at the consumer, and shuts the
+    worker down when the consumer stops early."""
+    import threading
+    import time as _time
+
+    from ance_tpu.data.feed import TokenCache, prefetch_batches
+
+    qbase, pbase = _write_caches(tmp_path)
+    lines = [f"{i}\t{i}\t{(i + 1) % 16},{(i + 3) % 16}" for i in range(16)]
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        feed = TripletBatches(qc, pc, expand_triples(lines), batch_size=8,
+                              seed=0)
+        direct = list(feed.epoch(0))
+        staged = list(prefetch_batches(feed.epoch(0), depth=2))
+        assert len(staged) == len(direct)
+        for a, b in zip(direct, staged):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def boom():
+        yield {"ok": 1}
+        raise RuntimeError("worker failure")
+
+    it = prefetch_batches(boom(), depth=2)
+    assert next(it) == {"ok": 1}
+    with pytest.raises(RuntimeError, match="worker failure"):
+        next(it)
+
+    # early close: the worker thread must exit even with batches staged
+    before = threading.active_count()
+    it = prefetch_batches(iter(range(1000)), depth=1)
+    assert next(it) == 0
+    it.close()
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not any(t.name == "ance-feed-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
