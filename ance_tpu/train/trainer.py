@@ -164,7 +164,8 @@ def make_train_step(loss_fn: Callable, optimizer,
     (reference run_ann.py:263-268 loss/accum).
 
     ``fast_dropout_rng`` converts the step's dropout stream to the TPU
-    hardware RNG (see :func:`fast_dropout_key`; measured 1.36× at b64).
+    hardware RNG (see :func:`fast_dropout_key`; measured 1.485× at b64,
+    docs/perf_train_r5b_run.jsonl).
     Default: on for TPU backends, off elsewhere (CPU tests keep threefry's
     bit-stable cross-sharding streams).
     """

@@ -32,7 +32,7 @@ import numpy as np
 from ance_tpu.data.cache import TokenCache
 from ance_tpu.data.feed import TripletBatches, prefetch_batches
 
-ROOT = "/root/feedcache"
+ROOT = os.environ.get("ANCE_FEED_ROOT", "/tmp/feedcache")
 N_PASSAGES = 8_841_823
 N_QUERIES = 502_939
 PLEN, QLEN = 512, 64
