@@ -38,7 +38,7 @@ N_QUERIES = 502_939
 PLEN, QLEN = 512, 64
 B = 64
 N_BATCHES = 200
-STEP_MS = 118.3  # BENCH_r04 train_step_ms
+STEP_MS = 95.6  # b64 train step with the r5 hardware-RNG dropout stream
 
 
 def build_cache(base: str, n: int, seqlen: int) -> None:
@@ -110,12 +110,26 @@ def simulated_train(feed_iter, n: int):
             "step_overhead_pct": round(100.0 * a.mean() / STEP_MS, 1)}
 
 
-def main():
-    os.makedirs(ROOT, exist_ok=True)
+def run_phase(name, make_iter, measure, triples, cold):
+    """Each phase opens FRESH TokenCache mmaps before dropping the page
+    cache: drop_caches skips pages mapped into a live process (kernel
+    invalidate_mapping_pages semantics), so reusing one long-lived mmap
+    across phases silently measures WARM — the first version of this
+    script did exactly that and reported 2 ms 'cold' stalls."""
     pbase = os.path.join(ROOT, "passages")
     qbase = os.path.join(ROOT, "queries")
-    build_cache(pbase, N_PASSAGES, PLEN)
-    build_cache(qbase, N_QUERIES, QLEN)
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        if cold:
+            drop_page_cache()
+        feed = TripletBatches(qc, pc, triples, batch_size=B, seed=-1)
+        print(json.dumps({name: measure(make_iter(feed), N_BATCHES)}),
+              flush=True)
+
+
+def main():
+    os.makedirs(ROOT, exist_ok=True)
+    build_cache(os.path.join(ROOT, "passages"), N_PASSAGES, PLEN)
+    build_cache(os.path.join(ROOT, "queries"), N_QUERIES, QLEN)
 
     rs = np.random.RandomState(7)
     n_rows = B * (N_BATCHES + 8)
@@ -123,27 +137,26 @@ def main():
                         rs.randint(0, N_PASSAGES, n_rows),
                         rs.randint(0, N_PASSAGES, n_rows)], axis=1)
 
-    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
-        def fresh(seed=-1):
-            return TripletBatches(qc, pc, triples, batch_size=B,
-                                  seed=seed).epoch(0)
-
-        drop_page_cache()
-        print(json.dumps({"cold_random": batch_times(fresh(), N_BATCHES)}),
-              flush=True)
-        print(json.dumps({"warm_random": batch_times(fresh(), N_BATCHES)}),
-              flush=True)
-
-        drop_page_cache()
-        print(json.dumps({"cold_sim_train_noprefetch":
-                          simulated_train(fresh(), N_BATCHES)}), flush=True)
-        drop_page_cache()
-        print(json.dumps({"cold_sim_train_prefetch8":
-                          simulated_train(prefetch_batches(fresh(), depth=8),
-                                          N_BATCHES)}), flush=True)
-        print(json.dumps({"warm_sim_train_prefetch8":
-                          simulated_train(prefetch_batches(fresh(), depth=8),
-                                          N_BATCHES)}), flush=True)
+    phases = [
+        ("cold_random", lambda f: f.epoch(0), batch_times, True),
+        ("warm_random", lambda f: f.epoch(0), batch_times, False),
+        ("cold_random_workers8",
+         lambda f: f.epoch_prefetched(0, workers=8, depth=16),
+         batch_times, True),
+        ("cold_sim_train_noprefetch",
+         lambda f: f.epoch(0), simulated_train, True),
+        ("cold_sim_train_prefetch_1thread",
+         lambda f: prefetch_batches(f.epoch(0), depth=8),
+         simulated_train, True),
+        ("cold_sim_train_workers8",
+         lambda f: f.epoch_prefetched(0, workers=8, depth=16),
+         simulated_train, True),
+        ("warm_sim_train_workers8",
+         lambda f: f.epoch_prefetched(0, workers=8, depth=16),
+         simulated_train, False),
+    ]
+    for name, make_iter, measure, cold in phases:
+        run_phase(name, make_iter, measure, triples, cold)
     print(json.dumps({"done": True}), flush=True)
 
 
