@@ -88,21 +88,62 @@ class TripletBatches:
         local = len(range(self.host_id, self.triples.shape[0], self.num_hosts))
         return local // self.batch_size
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+    def _epoch_triples(self, epoch_idx: int) -> np.ndarray:
         triples = self.triples[self.host_id::self.num_hosts]
         if self.seed >= 0:
             perm = np.random.RandomState(self.seed + epoch_idx).permutation(
                 triples.shape[0])
             triples = triples[perm]
+        return triples
+
+    def _build_batch(self, rows: np.ndarray) -> dict:
+        q_ids, q_mask = gather_padded(self.query_cache, rows[:, 0])
+        p_ids, p_mask = gather_padded(self.passage_cache, rows[:, 1])
+        n_ids, n_mask = gather_padded(self.passage_cache, rows[:, 2])
+        return {"query_ids": q_ids, "query_mask": q_mask,
+                "pos_ids": p_ids, "pos_mask": p_mask,
+                "neg_ids": n_ids, "neg_mask": n_mask}
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        triples = self._epoch_triples(epoch_idx)
         B = self.batch_size
         for start in range(0, triples.shape[0] - B + 1, B):
-            rows = triples[start:start + B]
-            q_ids, q_mask = gather_padded(self.query_cache, rows[:, 0])
-            p_ids, p_mask = gather_padded(self.passage_cache, rows[:, 1])
-            n_ids, n_mask = gather_padded(self.passage_cache, rows[:, 2])
-            yield {"query_ids": q_ids, "query_mask": q_mask,
-                   "pos_ids": p_ids, "pos_mask": p_mask,
-                   "neg_ids": n_ids, "neg_mask": n_mask}
+            yield self._build_batch(triples[start:start + B])
+
+    def epoch_prefetched(self, epoch_idx: int = 0, workers: int = 4,
+                         depth: int = 8) -> Iterator[dict]:
+        """``epoch()`` with up to ``workers`` batches gathered concurrently
+        (identical batches, identical order).
+
+        Why threads help a pure-numpy gather: on a cache that is not
+        page-cache-resident, the gathers are mmap page faults — IO wait
+        that releases the GIL — and ONE faulting thread sustains only
+        ~0.7k record-rows/s from disk (docs/perf_feed_r5.py), below the
+        ~1.6k rows/s a b64/95 ms train step demands. ``workers`` faulting
+        threads keep that many reads in the disk queue, the standard
+        replacement for the reference DataLoader's num_workers processes
+        (reference run_ann.py:230-235). ``depth`` bounds completed batches
+        held ahead of the consumer."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        triples = self._epoch_triples(epoch_idx)
+        B = self.batch_size
+        starts = range(0, triples.shape[0] - B + 1, B)
+        pending: "collections.deque" = collections.deque()
+        with ThreadPoolExecutor(max_workers=workers,
+                                thread_name_prefix="ance-feed") as ex:
+            try:
+                for s in starts:
+                    pending.append(
+                        ex.submit(self._build_batch, triples[s:s + B]))
+                    if len(pending) >= max(depth, workers):
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
 
 
 def prefetch_batches(batches: Iterator[dict], depth: int = 4

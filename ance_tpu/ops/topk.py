@@ -57,6 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
+# Grid scheduling contract for the phase-1 kernel. Every (chunk, q_tile)
+# output block is independent, so "parallel" is semantically valid too;
+# module-level so docs/perf_topk_dimsem_r5.py can A/B it on the chip.
+_DIMENSION_SEMANTICS = ("arbitrary", "arbitrary")
+
 
 def _blockmax_kernel(q_ref, c_ref, o_ref, *, block_size: int):
     """One corpus chunk: transposed scores [CHUNK, Q] in VMEM → block maxima
@@ -134,7 +139,7 @@ def blockmax_scores(queries: jax.Array, corpus: jax.Array, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N // block_size, Q), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=_DIMENSION_SEMANTICS),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * N * D,
             bytes_accessed=(Q * D + N * D) * queries.dtype.itemsize +

@@ -9,7 +9,11 @@ for sidecar deployment behind a real load balancer.
 API:
   GET  /healthz            → {"status": "ok", "ntotal": N, "pid_space": ...}
   GET  /metrics            → {"requests": n, "queries": n, "errors": n,
-                              "latency_ms_ewma": t}
+                              "latency_ms_ewma": t,
+                              "lock_wait_ms_total": t} — lock_wait is time
+                           requests spent QUEUED on the device lock: the
+                           contention signal to scale out on (chip busy),
+                           distinct from per-request device latency
   POST /search             body {"queries": ["text", ...], "k": 10}
                            or  {"ids": [[...]], "mask": [[...]], "k": 10}
                            → {"results": [[{"pid": p, "score": s}, ...] per
@@ -29,6 +33,7 @@ parsing/tokenization.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
 import time
@@ -71,7 +76,8 @@ class RetrieverHTTPServer:
         self._device_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._stats = {"requests": 0, "queries": 0, "errors": 0,
-                       "reloads": 0, "latency_ms_ewma": 0.0}
+                       "reloads": 0, "latency_ms_ewma": 0.0,
+                       "lock_wait_ms_total": 0.0}
         self._stats_lock = threading.Lock()
         outer = self
 
@@ -149,16 +155,28 @@ class RetrieverHTTPServer:
         return self._server.server_address[:2]
 
     def _count(self, requests: int = 0, queries: int = 0, errors: int = 0,
-               reloads: int = 0, latency_ms: Optional[float] = None) -> None:
+               reloads: int = 0, latency_ms: Optional[float] = None,
+               lock_wait_ms: float = 0.0) -> None:
         with self._stats_lock:
             self._stats["requests"] += requests
             self._stats["queries"] += queries
             self._stats["errors"] += errors
             self._stats["reloads"] += reloads
+            self._stats["lock_wait_ms_total"] += lock_wait_ms
             if latency_ms is not None:
                 prev = self._stats["latency_ms_ewma"]
                 self._stats["latency_ms_ewma"] = latency_ms if prev == 0 \
                     else 0.9 * prev + 0.1 * latency_ms
+
+    @contextlib.contextmanager
+    def _locked_device(self):
+        """The device lock, with the time spent WAITING for it accounted to
+        /metrics' lock_wait_ms_total — the operator's queue-depth signal
+        (wait grows ⇒ the chip is saturated or a refresh/reload holds it)."""
+        t0 = time.perf_counter()
+        with self._device_lock:
+            self._count(lock_wait_ms=(time.perf_counter() - t0) * 1000.0)
+            yield
 
     def _reload(self, req: dict) -> dict:
         """Hot-swap a SAVED index (FlatIPIndex.save layout + .ids.npy
@@ -189,7 +207,7 @@ class RetrieverHTTPServer:
             raise _BadRequest(f"cannot load index {path!r}: {e}")
         if len(e2id) != new_index.ntotal:
             raise _BadRequest("saved index and its .ids.npy sidecar disagree")
-        with self._device_lock:
+        with self._locked_device():
             self.retriever.index = new_index
             self.retriever.embedding2id = e2id
             # the sidecar contract is REAL pids: a server started in
@@ -220,7 +238,7 @@ class RetrieverHTTPServer:
                                   "arrays as ids/mask instead")
             # tokenize OUTSIDE the lock — only device work serializes
             ids, mask = self.retriever.tokenize_queries(queries)
-            with self._device_lock:
+            with self._locked_device():
                 scores, pids = self.retriever.search_tokens(ids, mask, k)
         elif "ids" in req:
             try:
@@ -238,7 +256,7 @@ class RetrieverHTTPServer:
                 raise _BadRequest("ids/mask must be equal-shape 2-D arrays")
             if len(ids) > self.max_batch:
                 raise _BadRequest(f"batch > max_batch ({self.max_batch})")
-            with self._device_lock:
+            with self._locked_device():
                 scores, pids = self.retriever.search_tokens(ids, mask, k)
         else:
             raise _BadRequest("need 'queries' (text) or 'ids' (+'mask')")

@@ -53,8 +53,10 @@ STEPS = 20
 N_SAMPLES = 5
 
 # watchdog budget: attempts fit inside a hard overall deadline
-DEADLINE_S = 840            # 14 min — comfortably inside the driver window
-INNER_TIMEOUT_S = 650       # one full run ~6-9 min incl. tunnel compiles
+DEADLINE_S = 960            # 16 min — inside the driver window; the extra
+                            # 2 min over round 4 funds the refresh leg,
+                            # which runs LAST and self-skips when tight
+INNER_TIMEOUT_S = 780       # one full run ~7-11 min incl. tunnel compiles
 RETRY_SLEEP_S = 20
 
 # bf16 peak matmul throughput by device kind (TF/s)
@@ -117,7 +119,8 @@ def bench_encode(jax, jnp, on_tpu):
         _materialize(out)
         return batch * STEPS / (time.perf_counter() - t0)  # passages/s
 
-    return sample(once, N_SAMPLES if on_tpu else 2)
+    return sample(once, N_SAMPLES if on_tpu else 2), (encode, params, ids,
+                                                      mask)
 
 
 def bench_maxp_encode(jax, jnp, on_tpu):
@@ -264,6 +267,81 @@ def bench_search(jax, jnp, on_tpu):
     return (med, lo, hi), (med8, lo8, hi8), n
 
 
+def bench_refresh(jax, jnp, on_tpu, encode, params, ids, mask, train_ms):
+    """Budget-bounded estimate of the north-star metric: corpus re-encode +
+    index-refresh MINUTES at the true MS MARCO scale (8,841,823 passages,
+    BASELINE.json "re-encode+index refresh min"; reference pays this as a
+    separate 4xV100 inferencer job, run_ann_data_gen.py:663-702).
+
+    A full on-chip cycle takes ~25 min (measured once:
+    docs/perf_refresh8m8_r5.py → DESIGN.md §5), far past this benchmark's
+    deadline, so this measures the UNITS on the real 8.8M-geometry index
+    and composes them exactly the way the pipelined loop schedules a cycle
+    (train/pipelined.py::_seed_cycle): 270 x [32768-passage encode + int8
+    slice write] + dev encode/search + 2 mining chunks + the interleaved
+    train steps. The encode jit is REUSED from bench_encode (same program,
+    no extra compile); regressions in any component move this number.
+    """
+    from ance_tpu.index.flat import FlatIPIndex
+
+    if not on_tpu:  # CPU smoke: tiny geometry, same code path
+        ntotal, slice_rows, enc_batches = 2048, 512, 2
+    else:
+        ntotal, slice_rows, enc_batches = 8_841_823, 32_768, 32_768 // BATCH
+    n_slices = (ntotal + slice_rows - 1) // slice_rows
+
+    emb0 = encode(params, ids, mask)
+    scales = jnp.maximum(jnp.max(jnp.abs(emb0.astype(jnp.float32)), axis=0)
+                         * 1.5 / 127.0, 1e-8)
+    index = FlatIPIndex(dim=emb0.shape[1], quantize="dims")
+    index.allocate(ntotal, emb0.shape[1], slice_rows=slice_rows,
+                   scales=scales)
+
+    def write_slice(start):
+        parts = [encode(params, ids, mask) for _ in range(enc_batches)]
+        index.update_slice(start, jnp.concatenate(parts)[:slice_rows])
+
+    write_slice(0)  # compile concat + quantized writer
+    _materialize(index._emb[:2].astype(jnp.float32))
+
+    def slice_once():
+        t0 = time.perf_counter()
+        write_slice(slice_rows)
+        _materialize(index._emb[:2].astype(jnp.float32))
+        return time.perf_counter() - t0
+
+    slice_s, s_lo, s_hi = sample(slice_once, 3)
+
+    # fixed per-cycle tail at full-index geometry: dev encode (reusing the
+    # passage encode jit — conservative: production dev queries are seq 32),
+    # dev search, and the 2 mining chunks (k=200)
+    kq = jax.random.PRNGKey(3)
+    dev_q = jax.random.normal(kq, (512, emb0.shape[1]), jnp.float32)
+    for k in (10, 200):
+        _materialize(index.search(dev_q, k=k)[0])  # compile both shapes
+
+    def tail_once():
+        t0 = time.perf_counter()
+        for _ in range(4):  # 512 dev queries / b128 encode
+            encode(params, ids, mask)
+        s, _ = index.search(dev_q, k=10)
+        _materialize(s)
+        for _ in range(2):  # mining chunks
+            s, _ = index.search(dev_q, k=200)
+        _materialize(s)
+        return time.perf_counter() - t0
+
+    tail_s = sample(tail_once, 3)[0]
+
+    # compose the cycle as _seed_cycle schedules it (+6 non-E items), with
+    # train_steps_per_slice=4 interleaved steps per work item
+    n_items = n_slices + 6
+    steps = n_items * 4
+    refresh_min = (n_slices * slice_s + tail_s
+                   + steps * train_ms / 1000.0) / 60.0
+    return (refresh_min, slice_s, (s_lo, s_hi), tail_s, ntotal, steps)
+
+
 def _spread(lo, hi, nd=1):
     return [round(lo, nd), round(hi, nd)]
 
@@ -277,9 +355,10 @@ def main():
     kind = getattr(dev, "device_kind", "unknown")
     _emit({"metric": "device", "value": kind, "unit": "device_kind"})
 
+    t_main = time.monotonic()
     # ordered so the most important metrics land first: a mid-run timeout
     # still certifies the headline + search before the heavier train compile
-    pps, pps_lo, pps_hi = bench_encode(jax, jnp, on_tpu)
+    (pps, pps_lo, pps_hi), enc_ctx = bench_encode(jax, jnp, on_tpu)
     peak = PEAK_TFLOPS.get(kind)
     tflops = pps * GFLOP_PER_PASSAGE / 1000.0
     _emit({"metric": "firstp_encode_throughput", "value": round(pps, 1),
@@ -301,6 +380,24 @@ def main():
            "unit": "ms/step", "spread": _spread(tr_lo, tr_hi),
            "batch": train_b})
 
+    # north-star estimate, last: the five certified metrics above must land
+    # before this leg's extra compiles can risk the watchdog budget
+    refresh_min = None
+    if time.monotonic() - t_main < DEADLINE_S - 300:
+        refresh_min, slice_s, (rs_lo, rs_hi), tail_s, rf_n, rf_steps = \
+            bench_refresh(jax, jnp, on_tpu, *enc_ctx, train_ms)
+        _emit({"metric": "refresh_min_8m8", "value": round(refresh_min, 1),
+               "unit": "min/refresh", "corpus": rf_n,
+               "slice_s": round(slice_s, 2),
+               "slice_spread": _spread(rs_lo, rs_hi, 2),
+               "tail_s": round(tail_s, 2), "train_steps": rf_steps,
+               "note": "composed from on-chip units; full-cycle cert in "
+                       "DESIGN.md §5 (docs/perf_refresh8m8_r5.py)"})
+    else:
+        _emit({"metric": "refresh_min_8m8", "value": None,
+               "unit": "min/refresh",
+               "note": "skipped: watchdog budget too tight this run"})
+
     out = {
         "metric": "firstp_encode_throughput",
         "value": round(pps, 1),
@@ -321,6 +418,7 @@ def main():
         "search_qps_int8": round(q8, 1),
         "search_qps_int8_spread": _spread(q8_lo, q8_hi),
         "search_corpus": corpus_n,
+        "refresh_min_8m8": round(refresh_min, 1) if refresh_min else None,
     }
     print(json.dumps(out), flush=True)
 

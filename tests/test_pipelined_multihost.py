@@ -22,24 +22,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import os, sys, json
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+pid, port, data_dir, n_procs, steps = (int(sys.argv[1]), sys.argv[2],
+                                       sys.argv[3], int(sys.argv[4]),
+                                       int(sys.argv[5]))
+ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                           + str(8 // n_procs))
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 from ance_tpu.core.mesh import initialize_distributed
 initialize_distributed(coordinator_address="127.0.0.1:" + port,
-                       num_processes=2, process_id=pid)
-assert jax.process_count() == 2 and jax.device_count() == 8
-sys.path.insert(0, os.path.join(%r, "tests"))
+                       num_processes=n_procs, process_id=pid)
+assert jax.process_count() == n_procs and jax.device_count() == 8
+sys.path.insert(0, os.path.join(__REPO__, "tests"))
 from test_pipelined_multihost import build_loop, run_steps
-loop = build_loop(data_dir, host_id=pid, num_hosts=2)
+loop = build_loop(data_dir, host_id=pid, num_hosts=n_procs,
+                  ckpt_dir=ckpt_dir or None)
 boot = loop.bootstrap()
-losses = run_steps(loop, 8)
+losses = run_steps(loop, steps)
+loop.flush_checkpoints()
 print("RESULT " + json.dumps({
     "boot_ndcg": boot["dev_ndcg"], "boot_triples": boot["num_triples"],
-    "losses": losses}), flush=True)
-""" % REPO
+    "losses": losses, "refresh_no": loop.refresh_no}), flush=True)
+""".replace("__REPO__", repr(REPO))
 
 
 def _write_data(tmp_path):
@@ -57,7 +63,7 @@ def _write_data(tmp_path):
     return tmp_path
 
 
-def build_loop(data_dir, host_id, num_hosts):
+def build_loop(data_dir, host_id, num_hosts, ckpt_dir=None):
     """Deterministic tiny pipelined loop (seed-0 init on every process).
     batch/encode sizes are PER-HOST: global train batch 16 = ALL triples
     (8 queries x 2 negatives), so every step sees the same triple set
@@ -99,7 +105,8 @@ def build_loop(data_dir, host_id, num_hosts):
         batch_size=16 // num_hosts,                    # global batch 16
         topk_training=16, negative_sample=2, ann_chunk_factor=1,
         search_chunk_queries=64, shuffle_seed=5,
-        host_id=host_id, num_hosts=num_hosts)
+        host_id=host_id, num_hosts=num_hosts,
+        checkpoint_dir=ckpt_dir)
     return PipelinedAnce(
         pcfg, state=state, train_step=step, rng=jax.random.PRNGKey(11),
         params_of=lambda s: s.params, query_encode_fn=qfn,
@@ -117,6 +124,19 @@ def run_steps(loop, n):
     return [float(x) for x in jax.device_get(loop._losses_since_refresh)]
 
 
+def _spawn_workers(data_dir, port, n_procs, steps, env, ckpt_dir=""):
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(pid), port, data_dir,
+         str(n_procs), str(steps), ckpt_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(n_procs)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    return [json.loads(out.split("RESULT", 1)[1].strip().splitlines()[0])
+            for out, _ in outs]
+
+
 @pytest.mark.slow
 def test_two_process_pipelined_matches_single(tmp_path):
     data_dir = str(_write_data(tmp_path))
@@ -124,15 +144,7 @@ def test_two_process_pipelined_matches_single(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = REPO
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(pid), port, data_dir],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
-    results = [json.loads(out.split("RESULT", 1)[1].strip().splitlines()[0])
-               for out, _ in outs]
+    results = _spawn_workers(data_dir, port, n_procs=2, steps=8, env=env)
 
     # both processes observe the identical global computation
     assert results[0] == results[1]
@@ -150,4 +162,48 @@ def test_two_process_pipelined_matches_single(tmp_path):
                                                     abs=1e-9)
     # train losses: same triple SET per global batch, order permuted by
     # striping → equal up to fp summation order
+    np.testing.assert_allclose(results[0]["losses"], losses, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_four_process_pipelined_matches_single(tmp_path):
+    """2×2 scale-up of the identity proof (VERDICT r4 item 5): FOUR
+    processes × 2 virtual devices run a FULL refresh cycle (16 steps =
+    8 work items incl. finalize) plus 4 steps on the freshly MINED
+    triples — exercising per-host feed striping at num_hosts=4 across a
+    mining handoff — and must match the single-process run. The finalize
+    also exercises rank-0-only checkpointing: exactly two complete
+    checkpoints (bootstrap's finalize at step 0, the cycle's at step 16),
+    written by process 0 only."""
+    data_dir = str(_write_data(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpts")
+    port = str(29660 + os.getpid() % 150)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    results = _spawn_workers(data_dir, port, n_procs=4, steps=20, env=env,
+                             ckpt_dir=ckpt_dir)
+
+    # all four processes observe the identical global computation
+    assert all(r == results[0] for r in results)
+    assert results[0]["refresh_no"] == 2
+    # 4 losses since the finalize — these trained on MINED triples, so
+    # equality across topologies covers mining + 4-way striping together
+    assert len(results[0]["losses"]) == 4
+
+    # rank-0-only checkpointing: every refresh boundary saved exactly once
+    # (4 processes wrote 2 checkpoints total, not 8), both complete
+    from ance_tpu.train.checkpoint import DONE_MARKER
+    ckpts = sorted(os.listdir(ckpt_dir))
+    assert ckpts == ["checkpoint-0", "checkpoint-16"], ckpts
+    for c in ckpts:
+        assert os.path.exists(os.path.join(ckpt_dir, c, DONE_MARKER))
+
+    # single-process reference on the same 8 virtual devices
+    single = build_loop(data_dir, host_id=0, num_hosts=1)
+    boot = single.bootstrap()
+    losses = run_steps(single, 20)
+    assert results[0]["boot_triples"] == boot["num_triples"] == 16
+    assert results[0]["boot_ndcg"] == pytest.approx(boot["dev_ndcg"],
+                                                    abs=1e-9)
     np.testing.assert_allclose(results[0]["losses"], losses, rtol=2e-4)

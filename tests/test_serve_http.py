@@ -5,6 +5,7 @@ urllib — no device, the encoder is the same IdentityEncoder double the batch
 serve tests use."""
 
 import json
+import time
 import urllib.error
 import urllib.request
 
@@ -207,6 +208,46 @@ def test_metrics_endpoint():
         # is a valid rate
         assert m["requests"] == 3 and m["queries"] == 6
         assert m["errors"] == 1 and m["latency_ms_ewma"] > 0
+        # lock-wait accounting: present, finite, and only counts QUEUED
+        # time (uncontended searches ≈ 0, never negative)
+        assert m["lock_wait_ms_total"] >= 0.0
+    finally:
+        srv.shutdown()
+
+
+def test_metrics_lock_wait_counts_contention():
+    """lock_wait_ms_total grows when concurrent requests queue on the
+    device lock (a retriever that holds the device for 30 ms forces the
+    second of two simultaneous requests to wait)."""
+    import threading as _threading
+
+    class SlowRetriever:
+        tokenizer = None
+        index = FlatIPIndex(dim=8, method="scan")
+
+        def __init__(self):
+            self.index.add(np.eye(8, dtype=np.float32))
+            self.embedding2id = None
+
+        def search_tokens(self, ids, mask, k):
+            time.sleep(0.03)
+            return (np.zeros((len(ids), k), np.float32),
+                    np.zeros((len(ids), k), np.int64))
+
+    srv = RetrieverHTTPServer(SlowRetriever(), port=0).start()
+    try:
+        ids = np.zeros((1, 4), np.int32)
+        threads = [_threading.Thread(target=_post, args=(
+            srv, "/search", {"ids": ids.tolist(), "k": 1}))
+            for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        _, m = _get(srv, "/metrics")
+        # 4 requests serialized behind a 30 ms device hold: the last one
+        # queued ~90 ms, total wait >= ~(1+2+3)*30 ms minus scheduling slop
+        assert m["lock_wait_ms_total"] > 30.0
     finally:
         srv.shutdown()
 

@@ -275,3 +275,37 @@ def test_prefetch_batches_identity_and_errors(tmp_path):
         _time.sleep(0.05)
     assert not any(t.name == "ance-feed-prefetch" and t.is_alive()
                    for t in threading.enumerate())
+
+
+def test_epoch_prefetched_identity_and_early_close(tmp_path):
+    """epoch_prefetched(workers=k) yields exactly epoch()'s batches in
+    order (including the shuffled-seed path), and closing the generator
+    early releases its worker threads."""
+    import threading
+    import time as _time
+
+    qbase, pbase = _write_caches(tmp_path)
+    lines = [f"{i}\t{i}\t{(i + 1) % 16},{(i + 3) % 16}" for i in range(16)]
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        for seed in (-1, 7):
+            feed = TripletBatches(qc, pc, expand_triples(lines),
+                                  batch_size=8, seed=seed)
+            direct = list(feed.epoch(2))
+            staged = list(feed.epoch_prefetched(2, workers=3, depth=2))
+            assert len(staged) == len(direct) > 0
+            for a, b in zip(direct, staged):
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k])
+
+        # early close: take one batch, drop the generator, threads exit
+        feed = TripletBatches(qc, pc, expand_triples(lines), batch_size=2)
+        it = feed.epoch_prefetched(0, workers=2, depth=2)
+        next(it)
+        it.close()
+        deadline = _time.time() + 5
+        while _time.time() < deadline and any(
+                t.name.startswith("ance-feed") and t.is_alive()
+                for t in threading.enumerate()):
+            _time.sleep(0.05)
+        assert not any(t.name.startswith("ance-feed") and t.is_alive()
+                       for t in threading.enumerate())
