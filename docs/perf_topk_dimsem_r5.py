@@ -51,8 +51,12 @@ def main():
     import ance_tpu.ops.topk as topk
 
     kc, kq = jax.random.split(jax.random.PRNGKey(0))
-    corpus = jax.random.normal(kc, (N, D), jnp.bfloat16)
-    mat(corpus[:1])
+    # raw blockmax_scores needs N % chunk_rows == 0 (topk_blockmax pads
+    # internally): phase 1 runs on 1,000,448 rows (+0.04%), full on 1M
+    n_pad = -(-N // 1024) * 1024
+    corpus_pad = jax.random.normal(kc, (n_pad, D), jnp.bfloat16)
+    corpus = corpus_pad[:N]
+    mat(corpus_pad[:1])
 
     for sem in ("arbitrary", "parallel"):
         topk._DIMENSION_SEMANTICS = (sem, sem)
@@ -64,7 +68,7 @@ def main():
 
             med, lo, hi = timed(
                 lambda qq: topk.blockmax_scores(qq.astype(jnp.bfloat16),
-                                                corpus),
+                                                corpus_pad),
                 queries)
             print(json.dumps({"phase1_ms": round(med, 2), "sem": sem,
                               "q": q, "spread": [round(lo, 2),
