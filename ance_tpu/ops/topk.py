@@ -44,6 +44,19 @@ the measured end-to-end optimum; per-shape retuning buys ≤3% and is not
 worth a config surface. The native int8×int8 phase 1 remains a recorded
 dead end (2× slower — Mosaic lowers it off the MXU — and per-query
 quantization degrades block selection; docs/perf_topk_int8_r4_run.jsonl).
+
+Round-5: the last untried phase-1 lever — declaring the grid
+``dimension_semantics=("parallel", "parallel")`` instead of arbitrary
+(every (chunk, q_tile) output block is independent, so Mosaic could in
+principle reorder/pipeline deeper) — measured as a WASH on the real chip
+(docs/perf_topk_dimsem_r5.py → _run.jsonl, A/B in one run, 1M×768):
+phase 1 Q=2048 21.9 vs 22.1 ms, Q=512 9.4 vs 10.0 ms; full path within
+spread at both production shapes (dev 55.3k vs 55.1k qps, mine 83.4 vs
+83.1 ms). Mosaic's schedule for this kernel is not constrained by the
+arbitrary declaration; ``_DIMENSION_SEMANTICS`` stays the module global
+the sweep toggles. (Side note the same run certifies: mining Q=512 k=200
+measured 83-84 ms this session vs 101-107 in r4 — the tunneled chip's
+run-to-run variance continues to dominate any kernel-body lever.)
 """
 
 from __future__ import annotations
