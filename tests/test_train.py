@@ -235,6 +235,53 @@ def test_maxp_multichunk_training_step(tmp_path):
     assert losses[-1] < losses[0]  # same batch repeated → must improve
 
 
+def test_fast_dropout_key_properties():
+    """trainer.py::fast_dropout_key (the TPU-default hardware-RNG dropout
+    stream): derivation is deterministic per input key, distinct across
+    keys, splittable (per-tower / per-microbatch), and bernoulli draws from
+    the derived rbg key hit the requested rate."""
+    from ance_tpu.train.trainer import fast_dropout_key
+
+    k7 = fast_dropout_key(jax.random.PRNGKey(7))
+    k7b = fast_dropout_key(jax.random.PRNGKey(7))
+    k8 = fast_dropout_key(jax.random.PRNGKey(8))
+    assert np.array_equal(jax.random.key_data(k7), jax.random.key_data(k7b))
+    assert not np.array_equal(jax.random.key_data(k7),
+                              jax.random.key_data(k8))
+    keep = jax.random.bernoulli(k7, 0.9, (8192,))
+    assert 0.86 < float(jnp.mean(keep)) < 0.94
+    # split (used per-tower and per-microbatch in the step) works on rbg
+    subs = jax.random.split(k7, 3)
+    assert len({tuple(np.asarray(jax.random.key_data(s)).ravel())
+                for s in subs}) == 3
+
+
+@pytest.mark.slow  # compiles a dropout>0 accum step — parity/e2e tier
+def test_fast_dropout_rng_step(tmp_path):
+    """A dropout>0 train step on the fast-RNG path (fast_dropout_rng=True)
+    runs with finite loss and step-to-step variation (fresh masks each
+    step, incl. through the accum lax.scan's per-microbatch split)."""
+    qbase, pbase = _write_caches(tmp_path)
+    model = _tiny_model(dropout=0.3)
+    lines = [f"{i}\t{i}\t{(i + 7) % 64}" for i in range(16)]
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        feed = TripletBatches(qc, pc, expand_triples(lines), batch_size=16,
+                              seed=3)
+        batch = next(feed.epoch(0))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, QLEN), jnp.int32), jnp.ones((2, QLEN), jnp.int32)
+    )["params"]
+    opt = make_optimizer("lamb", warmup_linear(1e-2, 2, 500))
+    step = make_train_step(triplet_loss_fn(model), opt, accum_steps=2,
+                           fast_dropout_rng=True)
+    state = init_train_state(params, opt)
+    state, m1 = step(state, batch, jax.random.PRNGKey(1))
+    state, m2 = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m1["loss"]) != float(m2["loss"])  # fresh masks per step
+
+
 def test_prefetch_batches_identity_and_errors(tmp_path):
     """prefetch_batches yields exactly the wrapped iterator's batches in
     order, re-raises worker exceptions at the consumer, and shuts the
