@@ -202,13 +202,23 @@ def prefetch_batches(batches: Iterator[dict], depth: int = 4
         stop.set()
 
 
-def infinite_batches(batches: TripletBatches) -> Iterator[dict]:
+def infinite_batches(batches: TripletBatches, *,
+                     workers: int = 8) -> Iterator[dict]:
     """Re-iterate forever (reference run_ann.py:230-235 re-iterates the
-    StreamingDataset on StopIteration)."""
+    StreamingDataset on StopIteration).
+
+    ``workers > 0`` gathers batches through :meth:`epoch_prefetched` —
+    order-identical to the serial path but with that many mmap-faulting
+    reads kept in the disk queue, the production default: a cold 18 GB
+    cache sustains only ~425 rows/s single-threaded vs 1,720 with 8
+    workers (docs/perf_feed_r5.py, DESIGN.md §5 feed table). ``workers=0``
+    keeps the serial ``epoch()`` path."""
     epoch = 0
     while True:
         yielded = False
-        for b in batches.epoch(epoch):
+        it = (batches.epoch_prefetched(epoch, workers=workers) if workers
+              else batches.epoch(epoch))
+        for b in it:
             yielded = True
             yield b
         if not yielded:

@@ -112,7 +112,15 @@ def torch_seed_encoder_state_dict(
     mismatch on embed_positions.weight. Rows ≥ 514 are never indexed at
     seq ≤ 512, so the slice is lossless. Tables already at or below the
     fairseq row count (e.g. tiny test geometries) export verbatim; pass
-    ``None`` to always export verbatim."""
+    ``None`` to always export verbatim.
+
+    The default slice is refused (ValueError) when the table has more than
+    2 rows of headroom over ``fairseq_position_rows``: a long-context
+    config (e.g. max_position_embeddings=1026 trained at seq 1024) has
+    TRAINED rows past 514 that cannot be distinguished from headroom here,
+    and silently dropping them would corrupt the export. Such models must
+    pass their own row count (fairseq allocates max_positions + pad + 1)
+    or ``None``."""
     sd: dict = {}
     emb = params["embeddings"]
     p = prefix
@@ -120,6 +128,13 @@ def torch_seed_encoder_state_dict(
     pos = np.asarray(emb["position_embeddings"]["embedding"], np.float32)
     if fairseq_position_rows is not None and \
             pos.shape[0] > fairseq_position_rows:
+        if pos.shape[0] > fairseq_position_rows + 2:
+            raise ValueError(
+                f"position table has {pos.shape[0]} rows — more than the "
+                f"import headroom over fairseq_position_rows="
+                f"{fairseq_position_rows}; rows past the slice look "
+                "trained, not padding. Pass the target geometry's own row "
+                "count (max_positions + 2) or None to export verbatim.")
         pos = pos[:fairseq_position_rows]
     sd[p + "embed_positions.weight"] = _t(pos)
     _layer_norm_out(sd, p + "emb_layer_norm", emb["layer_norm"])

@@ -251,7 +251,9 @@ def run_dpr_epochs(*, state, train_step: Callable, rng, params_of: Callable,
                               batch_size, seed=shuffle_seed,
                               host_id=host_id, num_hosts=num_hosts)
         last_loss = None
-        for batch in feed.epoch(epoch):
+        # prefetched gathers (order-identical to .epoch(); overlaps mmap
+        # page faults with the device step — DESIGN.md §5 feed table)
+        for batch in feed.epoch_prefetched(epoch):
             if batch_transform is not None:
                 batch = batch_transform(batch)  # e.g. multi-host global
                 # array assembly (shard_batch), as in the polling path

@@ -129,17 +129,28 @@ python -m ance_tpu.cli warmup "${COMMON[@]}" \
   --warmup_steps "$SCHED_WARMUP" \
   --save_steps "$WARMUP_STEPS" --output_dir ckpts_warmup \
   | tee warmup.out
-if [[ $DRY == 0 ]]; then
-  # real mode: gate on the in-train full-ranking MRR (rerun with
-  # --evaluate_during_training if warmup.out lacks eval entries)
-  WMRR=$(python -c "
-import json
-hist = json.loads(open('warmup.out').read().strip().splitlines()[-1])
-print(max([h.get('full_ranking_mrr', 0.0) for h in hist] + [0.0]))")
-  gate warmup_full_mrr "$WMRR" "$GATE_WARMUP"
-fi
 test -d ckpts_warmup/checkpoint-"$WARMUP_STEPS" \
   || { echo "warmup checkpoint missing"; exit 1; }
+
+# ---- 2b. warmup acceptance gate: full-ranking dev MRR@10 of the warmup
+# checkpoint, measured with the SAME infer + eval-full path as the final
+# gate (the reference's 0.311 post-warmup number is this metric,
+# README.md:192-194). Runs in dry mode too (gate 0.0) so CI proves the
+# plumbing; in real mode this costs one corpus encode (~25 min at 8.8M).
+python -m ance_tpu.cli infer "${COMMON[@]}" \
+  --data_dir data --training_dir ckpts_warmup --output_dir emb_warmup \
+  --per_device_eval_batch_size "$EVAL_B" \
+  --topk_training "$TOPK" --negative_sample "$NEG" --ann_chunk_factor 1
+python -m ance_tpu.cli eval-full \
+  --query_prefix emb_warmup/step0_dev_query_emb_p_ \
+  --query_id_prefix emb_warmup/step0_dev_query_embid_p_ \
+  --passage_prefix emb_warmup/step0_passage_emb_p_ \
+  --passage_id_prefix emb_warmup/step0_passage_embid_p_ \
+  --qrels data/dev-qrel.tsv --topn "$TOPK" | tee evalwarm.out
+WMRR=$(python -c "
+import json; print(json.loads(open('evalwarm.out').read().strip()
+                              .splitlines()[-1])['mrr_10'])")
+gate warmup_full_mrr "$WMRR" "$GATE_WARMUP"
 
 # ---- 3. pipelined ANCE loop ---------------------------------------------
 python -m ance_tpu.cli ance-loop "${COMMON[@]}" \

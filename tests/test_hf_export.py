@@ -279,6 +279,22 @@ def test_seed_export_slices_position_table_to_fairseq_rows():
     np.testing.assert_array_equal(got[:514], orig[:514])
     np.testing.assert_array_equal(got[514:], 0.0)
 
+    # long-context guard: a table with TRAINED rows past the default slice
+    # (more than the 2-row import headroom) must refuse the silent
+    # truncation — the caller has to state their geometry's row count
+    long_params = {"embeddings": {
+        "word_embeddings": params["embeddings"]["word_embeddings"],
+        "position_embeddings": {"embedding": np.ones((1026, 16), np.float32)},
+        "layer_norm": params["embeddings"]["layer_norm"]},
+        "layer_0": params["layer_0"]}
+    with pytest.raises(ValueError, match="trained, not padding"):
+        torch_seed_encoder_state_dict(long_params)
+    # explicit row count (or None) exports that geometry fine
+    sd_long = torch_seed_encoder_state_dict(long_params,
+                                            fairseq_position_rows=1026)
+    assert sd_long["seed_encoder.encoder.sentence_encoder."
+                   "embed_positions.weight"].shape[0] == 1026
+
 
 def test_seed_mlm_export_import_roundtrip():
     """Full pretraining tree (encoder + windowed decoder + LM head) out to

@@ -356,3 +356,26 @@ def test_epoch_prefetched_identity_and_early_close(tmp_path):
             _time.sleep(0.05)
         assert not any(t.name.startswith("ance-feed") and t.is_alive()
                        for t in threading.enumerate())
+
+
+def test_infinite_batches_prefetched_identity(tmp_path):
+    """The production loop path (infinite_batches, now prefetched by
+    default) yields exactly the serial stream, across an epoch boundary
+    where the shuffle reseeds."""
+    from ance_tpu.data.feed import infinite_batches
+    import itertools
+
+    qbase, pbase = _write_caches(tmp_path)
+    lines = [f"{i}\t{i}\t{(i + 1) % 16},{(i + 3) % 16}" for i in range(16)]
+    with TokenCache(qbase) as qc, TokenCache(pbase) as pc:
+        feed = TripletBatches(qc, pc, expand_triples(lines),
+                              batch_size=8, seed=5)
+        n = 3 * len(feed)  # three full epochs of the infinite stream
+        serial = list(itertools.islice(
+            infinite_batches(feed, workers=0), n))
+        staged = list(itertools.islice(
+            infinite_batches(feed), n))  # production default: prefetched
+        assert len(serial) == len(staged) == n
+        for a, b in zip(serial, staged):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
