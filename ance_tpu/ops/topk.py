@@ -54,9 +54,20 @@ phase 1 Q=2048 21.9 vs 22.1 ms, Q=512 9.4 vs 10.0 ms; full path within
 spread at both production shapes (dev 55.3k vs 55.1k qps, mine 83.4 vs
 83.1 ms). Mosaic's schedule for this kernel is not constrained by the
 arbitrary declaration; ``_DIMENSION_SEMANTICS`` stays the module global
-the sweep toggles. (Side note the same run certifies: mining Q=512 k=200
-measured 83-84 ms this session vs 101-107 in r4 — the tunneled chip's
-run-to-run variance continues to dominate any kernel-body lever.)
+the sweep toggles.
+
+The same run RETIRES the "36% of peak" ceiling note above: 21.9 ms for
+Q=2048 over 1,000,448×768 bf16 is 2·Q·N·D = 3.15 TF → 143.6 TF/s ≈ 73%
+of the v5e's 197 TF/s bf16 peak — phase 1 is near-roofline for a kernel
+that also streams the 1.5 GB corpus and writes block maxima. The kernel
+is byte-identical to the one the r3 "45 ms ≈ 36%" note measured (git
+log -S confirms no body/spec change since), and both sweeps cast queries
+to bf16 — the 2× gap is environmental (tunneled-chip session variance
+or a platform-stack change between rounds; the same r5 session also saw
+mining at 83-84 ms vs r4's 101-107). Re-confirmed in a second r5 session:
+21.7 ms / 145.3 TF/s / 73.7% of peak. Whatever the r3 figure's cause, the
+"roofline says ~2× more exists" concern does not reproduce: as currently
+measured there is no 2× left on the table here.
 """
 
 from __future__ import annotations
