@@ -313,6 +313,12 @@ def _add_train_flags(p):
     p.add_argument("--per_device_train_batch_size", type=int, default=32)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--feed_workers", type=int, default=8,
+                   help="mmap-gather prefetch threads for the triple feed "
+                        "(order-identical to serial; 8 = measured "
+                        "cold-cache optimum, 0 = serial gathers — "
+                        "DESIGN.md §5 feed table; replaces the reference "
+                        "DataLoader's num_workers, run_ann.py:230-235)")
     p.add_argument("--fused_body", action="store_true",
                    help="encode pos+neg as ONE [2B, S] pass (exactly equal "
                         "in deterministic mode; wider GEMMs)")
@@ -429,7 +435,8 @@ def cmd_train(args):
     if not args.ann_dir:
         raise SystemExit("--ann_dir is required unless --num_epoch > 0")
     cycle_cfg = AnceCycleConfig(batch_size=args.per_device_train_batch_size,
-                                shuffle_seed=args.seed)
+                                shuffle_seed=args.seed,
+                                feed_workers=args.feed_workers)
     triples_fn = sample_one_neg_triples if spec.loss == "dpr_inbatch" \
         else expand_triples
     batch_transform = None
@@ -477,6 +484,7 @@ def cmd_ance_loop(args):
         ann_chunk_factor=args.ann_chunk_factor,
         search_chunk_queries=args.search_chunk_queries,
         multichunk=spec.multichunk, shuffle_seed=args.seed,
+        feed_workers=args.feed_workers,
         index_quantize=args.index_quantize,
         rewarmup_per_dataset=args.rewarmup_per_dataset,
         checkpoint_dir=args.output_dir, save_every=args.save_steps,

@@ -62,6 +62,8 @@ class AnceCycleConfig:
     num_cycles: int = 3
     shuffle_seed: int = 42
     checkpoint_dir: Optional[str] = None
+    feed_workers: int = 8   # mmap-gather prefetch threads (DESIGN.md §5
+    # feed table: 8 = measured cold-cache optimum; 0 = serial gathers)
 
 
 def run_ance_cycles(cycle_cfg: AnceCycleConfig, gen_cfg: AnnGenConfig, *,
@@ -101,7 +103,7 @@ def run_ance_cycles(cycle_cfg: AnceCycleConfig, gen_cfg: AnnGenConfig, *,
             train_query_cache, passage_cache, expand_triples(lines),
             batch_size=cycle_cfg.batch_size,
             seed=cycle_cfg.shuffle_seed + cycle)
-        it = infinite_batches(feed)
+        it = infinite_batches(feed, workers=cycle_cfg.feed_workers)
         losses = []
         for _ in range(cycle_cfg.steps_per_cycle):
             rng, sub = jax.random.split(rng)
@@ -211,7 +213,8 @@ def run_trainer_job(cycle_cfg: AnceCycleConfig, *,
                     batch_size=cycle_cfg.batch_size,
                     seed=cycle_cfg.shuffle_seed + data_no,
                     host_id=host_id, num_hosts=num_hosts)
-                it = infinite_batches(feed)
+                it = infinite_batches(
+                    feed, workers=cycle_cfg.feed_workers)
                 last_data_no = data_no
                 if rewarmup_per_dataset:
                     from ance_tpu.optim.schedules import reset_rewarmup

@@ -88,6 +88,10 @@ class PipelineConfig:
                                         # run_ann.py:210-215); needs
                                         # make_optimizer(..., rewarmup=...)
     shuffle_seed: int = 42
+    feed_workers: int = 8              # mmap-gather prefetch threads
+                                       # (DESIGN.md §5 feed table: 8 =
+                                       # measured cold-cache optimum;
+                                       # 0 = serial gathers)
     log_trust_ratios: bool = False     # LAMB trust-ratio stats per refresh
                                        # (reference lamb.py:11-22 log_lamb_rs)
     checkpoint_dir: Optional[str] = None
@@ -336,7 +340,8 @@ class PipelinedAnce:
                 np.asarray(triples, np.int64), cfg.batch_size,
                 seed=cfg.shuffle_seed + self.refresh_no,
                 host_id=cfg.host_id, num_hosts=cfg.num_hosts)
-            self._batches = infinite_batches(feed)
+            self._batches = infinite_batches(
+                feed, workers=cfg.feed_workers)
             if cfg.rewarmup_per_dataset:
                 # fresh LR warmup for the new dataset, horizon = its size
                 # (reference run_ann.py:210-215, num_training_steps =
