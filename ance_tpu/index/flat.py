@@ -254,9 +254,15 @@ class FlatIPIndex:
         dtype_name = emb.dtype.name
         if dtype_name == "bfloat16":  # np.savez can't round-trip ml_dtypes
             emb = emb.view(np.uint16)
+        scales = (np.asarray(jax.device_get(self._scales))
+                  if self._scales is not None else np.zeros(0))
+        if self.quantize == "rows":
+            # per-ROW scales are padded like emb; strip them the same way or
+            # load() on a different shard count re-pads emb to a different
+            # length than scales and search crashes on the mismatch
+            scales = scales[:self._ntotal]
         np.savez(path, emb=emb, dtype_name=np.asarray(dtype_name),
-                 scales=(np.asarray(jax.device_get(self._scales))
-                         if self._scales is not None else np.zeros(0)),
+                 scales=scales,
                  quantize=np.asarray(self.quantize or ""),
                  ntotal=np.asarray(self._ntotal))
 

@@ -50,6 +50,16 @@ def dedup_first_hit(scores: np.ndarray, rows: np.ndarray,
     return out_scores, out_ids
 
 
+def bucket_pow2(n: int, cap: int) -> int:
+    """Next power of two ≥ n, capped — bounds the set of distinct shapes
+    (and therefore XLA compiles) a client can force. Every novel static
+    dimension costs a multi-second compile under the serving device lock
+    and lives forever in the jit cache; bucketing turns an unbounded,
+    client-controllable compile surface into ≤ log2(cap) programs."""
+    b = 1 << (max(int(n), 1) - 1).bit_length()
+    return min(b, cap)
+
+
 class Retriever:
     """query texts/tokens → (scores, passage ids).
 
@@ -91,10 +101,17 @@ class Retriever:
     def search_tokens(self, ids: np.ndarray, mask: np.ndarray, k: int
                       ) -> tuple[np.ndarray, np.ndarray]:
         """Token batch → (scores [B, k], passage ids [B, k]). Multi-vector
-        rows dedup to unique passage ids (first hit wins), padded with −1."""
+        rows dedup to unique passage ids (first hit wins), padded with −1.
+
+        The search depth is bucketed to the next power of two: the index
+        jit-compiles one program per distinct depth, so raw client ks
+        (1..max_k) would let traffic force an unbounded number of
+        multi-second compiles under the serving lock. Results are exact
+        either way — a deeper exact top-k sliced to k is the top-k."""
         q = self.embed_queries(ids, mask)
         depth = k if self.embedding2id is None else min(
             self.index.ntotal, 4 * k)  # overfetch for multi-vector dedup
+        depth = bucket_pow2(depth, self.index.ntotal)
         scores, rows = self.index.search(q, depth)
         scores, rows = np.asarray(scores), np.asarray(rows)
         if self.embedding2id is None:

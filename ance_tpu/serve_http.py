@@ -22,7 +22,11 @@ API:
                            saved index (+ its .ids.npy sidecar) under the
                            device lock: refresh without dropping the server
                            (only enabled when constructed with
-                           ``allow_reload=True``; the CLI sets it)
+                           ``allow_reload=True``; the CLI sets it). Hot
+                           mode needs 2× index HBM headroom;
+                           {"gap": true} releases the old index first
+                           (searches queue during the load) for
+                           full-corpus-scale indexes.
 
 Requests are batches — the TPU's throughput comes from batch width (measured
 serve-path knee: 902 qps @ b64 → 6,674 qps @ b2048, docs/perf_serve_r4.py) —
@@ -82,6 +86,12 @@ class RetrieverHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # bound every socket read: a client that promises a
+            # Content-Length and stops sending would otherwise park this
+            # handler thread in rfile.read forever (slow-loris), and
+            # ThreadingHTTPServer creates threads without bound
+            timeout = 60
+
             # quiet by default; errors still reach the client as JSON
             def log_message(self, fmt, *fmt_args):
                 pass
@@ -136,6 +146,15 @@ class RetrieverHTTPServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     outer._count(errors=1)
                     return self._reply(400, {"error": f"bad json: {e}"})
+                except OSError:
+                    # read timed out (Handler.timeout) or socket died:
+                    # release the thread; reply if the socket still writes
+                    outer._count(errors=1)
+                    self.close_connection = True
+                    try:
+                        return self._reply(408, {"error": "request timeout"})
+                    except OSError:
+                        return
                 try:
                     payload = outer._reload(req) if self.path == "/reload" \
                         else outer._search(req)
@@ -181,7 +200,18 @@ class RetrieverHTTPServer:
     def _reload(self, req: dict) -> dict:
         """Hot-swap a SAVED index (FlatIPIndex.save layout + .ids.npy
         sidecar in real pid space — the serve CLI's --save_index artifact):
-        refresh the corpus without dropping the server."""
+        refresh the corpus without dropping the server.
+
+        Default (hot) mode loads the new index to the device while the old
+        one still serves, so it needs BOTH resident at once — at
+        full-corpus scale that 2× headroom may not exist (an 8.8M×768 bf16
+        flat index is ~13.5 GB of a 16 GB v5e). ``{"gap": true}`` releases
+        the old index FIRST and loads under the device lock: no extra
+        headroom, but searches queue for the load's duration, and a load
+        that fails AFTER the release leaves the server degraded (healthz
+        5xx / searches 500) until a reload succeeds — the artifact is
+        therefore pre-checked (sidecar present and consistent) before the
+        old index is dropped."""
         if not self.allow_reload:
             raise _BadRequest("reload disabled on this server")
         if not isinstance(req, dict) or not isinstance(req.get("index"), str):
@@ -194,25 +224,56 @@ class RetrieverHTTPServer:
         old = self.retriever.index
         mesh = getattr(old, "mesh", None)
         axis = getattr(old, "axis", "data")
+        old_dim = getattr(old, "dim", None)
+        lp = path if path.endswith(".npz") else path + ".npz"
+        sidecar = (path[:-len(".npz")] if path.endswith(".npz") else path
+                   ) + ".ids.npy"  # save() writes {prefix}.npz + {prefix}
+        # .ids.npy — accept the .npz path the CLI prints as well
         try:
             # the file carries its own kind (same detection as the serve
-            # CLI's --load_index): an IVF artifact must reload as IVF
-            lp = path if path.endswith(".npz") else path + ".npz"
+            # CLI's --load_index): an IVF artifact must reload as IVF; the
+            # sidecar and row count are validated BEFORE any swap work
             with np.load(lp, allow_pickle=False) as z:
                 is_ivf = "bins_emb" in z.files
+                saved_n = int(z["ntotal"]) if "ntotal" in z.files else None
             cls = IVFIPIndex if is_ivf else FlatIPIndex
-            new_index = cls.load(path, mesh=mesh, axis=axis)
-            e2id = np.load(path + ".ids.npy").astype(np.int64)
+            e2id = np.load(sidecar).astype(np.int64)
+            if saved_n is not None and len(e2id) != saved_n:
+                raise _BadRequest(
+                    "saved index and its .ids.npy sidecar disagree")
+
+            def load_new():
+                idx = cls.load(lp, mesh=mesh, axis=axis)
+                if old_dim is not None and idx.dim != old_dim:
+                    # a wrong-geometry artifact must be rejected, not
+                    # swapped in to 500 every later /search
+                    raise _BadRequest(
+                        f"index dim {idx.dim} != encoder dim {old_dim}")
+                if len(e2id) != idx.ntotal:
+                    raise _BadRequest(
+                        "saved index and its .ids.npy sidecar disagree")
+                return idx
+
+            if req.get("gap"):
+                with self._locked_device():
+                    self.retriever.index = None   # free before loading
+                    del old
+                    new_index = load_new()
+                    self.retriever.index = new_index
+                    self.retriever.embedding2id = e2id
+                    self.pid_space = "real"
+            else:
+                new_index = load_new()
+                with self._locked_device():
+                    self.retriever.index = new_index
+                    self.retriever.embedding2id = e2id
+                    # the sidecar contract is REAL pids: a server started
+                    # in pid_space='offset' must serve real pids after
+                    self.pid_space = "real"
+        except _BadRequest:
+            raise
         except (OSError, ValueError, KeyError) as e:
             raise _BadRequest(f"cannot load index {path!r}: {e}")
-        if len(e2id) != new_index.ntotal:
-            raise _BadRequest("saved index and its .ids.npy sidecar disagree")
-        with self._locked_device():
-            self.retriever.index = new_index
-            self.retriever.embedding2id = e2id
-            # the sidecar contract is REAL pids: a server started in
-            # pid_space='offset' must report/serve real pids after a reload
-            self.pid_space = "real"
         self._count(reloads=1)
         return {"reloaded": path, "kind": "ivf" if is_ivf else "flat",
                 "ntotal": int(new_index.ntotal)}
@@ -238,8 +299,6 @@ class RetrieverHTTPServer:
                                   "arrays as ids/mask instead")
             # tokenize OUTSIDE the lock — only device work serializes
             ids, mask = self.retriever.tokenize_queries(queries)
-            with self._locked_device():
-                scores, pids = self.retriever.search_tokens(ids, mask, k)
         elif "ids" in req:
             try:
                 ids = np.asarray(req["ids"], np.int32)
@@ -256,10 +315,25 @@ class RetrieverHTTPServer:
                 raise _BadRequest("ids/mask must be equal-shape 2-D arrays")
             if len(ids) > self.max_batch:
                 raise _BadRequest(f"batch > max_batch ({self.max_batch})")
-            with self._locked_device():
-                scores, pids = self.retriever.search_tokens(ids, mask, k)
         else:
             raise _BadRequest("need 'queries' (text) or 'ids' (+'mask')")
+        # bucket the batch width to a power of two: the encoder compiles
+        # one program per distinct [B, L], so raw client widths would let
+        # traffic force unbounded multi-second compiles under the device
+        # lock (k-depth is bucketed the same way in Retriever.search_tokens;
+        # the text path's L is pinned by max_query_length — ids/mask
+        # clients should keep L fixed for the same reason). Padding rows
+        # repeat row 0 and are stripped from the results.
+        from ance_tpu.serve import bucket_pow2
+        B = len(ids)
+        pad = bucket_pow2(B, self.max_batch) - B
+        if pad:
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, 0)], axis=0)
+            mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)],
+                                  axis=0)
+        with self._locked_device():
+            scores, pids = self.retriever.search_tokens(ids, mask, k)
+        scores, pids = np.asarray(scores)[:B], np.asarray(pids)[:B]
         ms = (time.perf_counter() - t0) * 1000.0
         # requests counted in do_POST (success or failure)
         self._count(queries=int(np.asarray(pids).shape[0]), latency_ms=ms)

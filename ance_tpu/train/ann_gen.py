@@ -61,9 +61,15 @@ def get_latest_ann_data(ann_dir: str) -> tuple[int, Optional[str], Optional[dict
 def query_chunk_range(num_queries: int, chunk_factor: int,
                       output_num: int) -> tuple[int, int]:
     """1/chunk_factor of train queries per generation, rotating by
-    output_num (reference run_ann_data_gen.py:281-296)."""
+    output_num (reference run_ann_data_gen.py:281-296).
+
+    chunk_factor is clamped to num_queries: with fewer queries than chunks
+    (tiny corpora, smoke runs) per_chunk would be 0 and every non-last
+    rotation would hand the encoder an EMPTY range, which crashes the
+    refresh (np.concatenate of zero batches) instead of mining."""
     if chunk_factor <= 0:
         chunk_factor = 1
+    chunk_factor = max(1, min(chunk_factor, num_queries))
     effective_idx = output_num % chunk_factor
     per_chunk = num_queries // chunk_factor
     start = per_chunk * effective_idx

@@ -38,6 +38,14 @@ def test_query_chunk_range_rotation():
     assert query_chunk_range(10, 3, 2) == (6, 10)   # last chunk takes tail
     assert query_chunk_range(10, 3, 3) == (0, 3)    # rotation wraps
     assert query_chunk_range(10, 0, 5) == (0, 10)   # chunk_factor<=0 → all
+    # fewer queries than chunks: factor clamps to num_queries — every
+    # rotation yields a NON-EMPTY chunk (an empty range would crash the
+    # refresh encode with np.concatenate of zero batches)
+    assert query_chunk_range(3, 5, 0) == (0, 1)
+    assert query_chunk_range(3, 5, 1) == (1, 2)
+    assert query_chunk_range(3, 5, 2) == (2, 3)
+    assert query_chunk_range(3, 5, 3) == (0, 1)     # wraps at the clamp
+    assert query_chunk_range(1, 5, 4) == (0, 1)
 
 
 def test_mine_negatives_semantics():

@@ -327,6 +327,21 @@ def test_index_save_load_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="empty"):
         FlatIPIndex(dim=16).save(str(tmp_path / "never"))
 
+    # the reverse direction: save FROM the 8-shard mesh (rows AND per-row
+    # scales carry padding to 104) → load on a single device. The padded
+    # scales must be stripped on save or load re-pads emb to a different
+    # length than scales and the first search crashes on the mismatch.
+    a = FlatIPIndex(dim=16, method="scan", quantize="rows", mesh=mesh)
+    a.add(corpus)
+    path = str(tmp_path / "idx_rows_meshsave")
+    a.save(path)
+    s1, i1 = a.search(queries, k=7)
+    b = FlatIPIndex.load(path, mesh=None, method="scan")
+    assert b.ntotal == 100 and b._scales.shape[0] == b._emb.shape[0]
+    s2, i2 = b.search(queries, k=7)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
 
 def test_update_slice_out_of_range_raises():
     from ance_tpu.index.flat import FlatIPIndex

@@ -303,6 +303,72 @@ def test_reload_hot_swaps_saved_index(tmp_path):
         srv2.shutdown()
 
 
+def test_reload_npz_path_gap_mode_and_dim_guard(tmp_path):
+    """Reload edges: (a) the '.npz' path the save CLI prints works — the
+    sidecar lookup must strip the suffix; (b) {'gap': true} releases the
+    old index before loading (no 2x HBM headroom needed) and still swaps
+    correctly; (c) a wrong-dimension artifact is rejected with 400 BEFORE
+    the swap, instead of 500ing every later /search."""
+    def saved(path, n, dim=8):
+        idx = FlatIPIndex(dim=dim, method="scan")
+        idx.add(np.eye(max(8, dim), dtype=np.float32)[:n, :dim].copy())
+        idx.save(str(path))
+        np.save(str(path) + ".ids.npy",
+                np.arange(300, 300 + n, dtype=np.int64))
+        return str(path)
+
+    p_a = saved(tmp_path / "idx_a", 8)
+    p_b = saved(tmp_path / "idx_b", 6)
+    p_wrong = saved(tmp_path / "idx_wrong", 6, dim=4)
+
+    r = Retriever(IdentityEncoder(), None, FlatIPIndex.load(p_a),
+                  embedding2id=np.arange(300, 308, dtype=np.int64))
+    srv = RetrieverHTTPServer(r, port=0, allow_reload=True).start()
+    try:
+        # (a) POST the artifact WITH its .npz suffix, as the CLI prints it
+        status, rep = _post(srv, "/reload", {"index": p_b + ".npz"})
+        assert status == 200 and rep["ntotal"] == 6
+
+        # (c) wrong dim: rejected up front, old index keeps serving
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv, "/reload", {"index": p_wrong})
+        assert exc.value.code == 400
+        assert "dim" in json.loads(exc.value.read())["error"]
+        _, h = _get(srv, "/healthz")
+        assert h["ntotal"] == 6  # the p_b index is still live
+
+        # (b) gap mode: release-then-load, search works after
+        status, rep = _post(srv, "/reload", {"index": p_a, "gap": True})
+        assert status == 200 and rep["ntotal"] == 8
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 1] = 7
+        _, body = _post(srv, "/search", {"ids": ids.tolist(), "k": 1})
+        assert body["results"][0][0]["pid"] == 307
+    finally:
+        srv.shutdown()
+
+
+def test_search_batch_and_k_bucketing(server):
+    """Client-visible behavior is unchanged by the compile-shape buckets:
+    an odd batch width returns exactly that many result rows (padding rows
+    stripped, metrics count only real queries), and a non-power-of-two k
+    returns exactly k-capped results identical to the direct call."""
+    _, m0 = _get(server, "/metrics")
+    ids = np.zeros((3, 4), np.int32)  # buckets to 4 internally
+    ids[0, 1], ids[1, 1], ids[2, 1] = 1, 5, 7
+    status, body = _post(server, "/search",
+                         {"ids": ids.tolist(), "k": 3})  # depth buckets to 4
+    assert status == 200 and len(body["results"]) == 3
+    assert [r[0]["pid"] for r in body["results"]] == [1, 5, 7]
+    assert all(len(r) <= 3 for r in body["results"])
+    want_s, want_p = server.retriever.search_tokens(
+        ids, (ids != 0).astype(np.int32), 3)
+    for row, wp in zip(body["results"], want_p):
+        assert [e["pid"] for e in row] == [int(p) for p in wp if p >= 0]
+    _, m1 = _get(server, "/metrics")
+    assert m1["queries"] - m0["queries"] == 3  # padding rows not counted
+
+
 def test_reload_resets_pid_space_and_keeps_mesh(tmp_path):
     """The reload sidecar contract is REAL pids: a server started in
     pid_space='offset' must report 'real' after a swap, and a mesh-sharded
