@@ -71,6 +71,13 @@ def ref_msmarco_eval():
 
 
 @pytest.fixture(scope="module")
+def ref_msmarco_data(ref_gen):
+    """reference data/msmarco_data.py, riding ref_gen's sys.path/stub setup."""
+    import data.msmarco_data as md
+    return md
+
+
+@pytest.fixture(scope="module")
 def ref_gen():
     """The full drivers/run_ann_data_gen.py module, imported for real."""
     for name in ("faiss", "pytrec_eval", "tensorboardX", "sentencepiece"):
@@ -235,3 +242,81 @@ def test_msmarco_eval_executes_reference_source(ref_msmarco_eval, tmp_path):
     our_m = ours.compute_metrics_from_files(str(ref_f), str(cand))
     assert our_m["MRR @10"] == pytest.approx(ref_m["MRR @10"])
     assert our_m["QueriesRanked"] == ref_m["QueriesRanked"]
+
+
+def _write_cache(tmp_path, name, n, max_len, seed):
+    from ance_tpu.data.cache import TokenCacheWriter
+    rs = np.random.RandomState(seed)
+    base = str(tmp_path / name)
+    rows = []
+    with TokenCacheWriter(base, max_len) as w:
+        for _ in range(n):
+            length = int(rs.randint(1, max_len + 1))
+            toks = np.zeros(max_len, np.int32)
+            toks[:length] = rs.randint(5, 1000, size=length)
+            w.write(length, toks)
+            rows.append((length, toks))
+    return base, rows
+
+
+def test_embedding_cache_executes_reference_source(ref_gen, tmp_path):
+    """The reference's EmbeddingCache (utils/util.py:257-307) reads a cache
+    file OUR TokenCacheWriter wrote — random access, len, and the seeded
+    iteration permutation all match our TokenCache on the same bytes."""
+    _, ref_util = ref_gen
+    from ance_tpu.data.cache import TokenCache
+
+    base, rows = _write_cache(tmp_path, "pc", n=13, max_len=9, seed=5)
+    with ref_util.EmbeddingCache(base) as ref_c, TokenCache(base) as ours_c:
+        assert len(ref_c) == len(ours_c) == 13
+        for i in (0, 5, 12):
+            ref_len, ref_toks = ref_c[i]
+            our_len, our_toks = ours_c[i]
+            assert ref_len == our_len == rows[i][0]
+            np.testing.assert_array_equal(ref_toks, our_toks)
+            np.testing.assert_array_equal(ref_toks, rows[i][1])
+    with ref_util.EmbeddingCache(base, seed=11) as ref_c, \
+            TokenCache(base, seed=11) as ours_c:
+        for (ref_len, ref_toks), (our_len, our_toks) in zip(ref_c, ours_c):
+            assert ref_len == our_len
+            np.testing.assert_array_equal(ref_toks, our_toks)
+
+
+def test_triplet_processing_fn_executes_reference_source(
+        ref_gen, ref_msmarco_data, tmp_path):
+    """GetTripletTrainingDataProcessingFn (reference
+    data/msmarco_data.py:337-362), fed through the reference's own
+    EmbeddingCache over caches our writer produced, yields exactly the
+    (ids, mask) triples TripletBatches assembles from the same lines."""
+    _, ref_util = ref_gen
+    from ance_tpu.data.cache import TokenCache
+    from ance_tpu.data.feed import TripletBatches, expand_triples
+
+    max_q, max_p = 6, 9
+    qbase, _ = _write_cache(tmp_path, "q", n=4, max_len=max_q, seed=1)
+    pbase, _ = _write_cache(tmp_path, "p", n=8, max_len=max_p, seed=2)
+    lines = ["0\t1\t2,3\n", "2\t5\t0,6,7\n"]
+    args = SimpleNamespace(max_query_length=max_q, max_seq_length=max_p)
+
+    with ref_util.EmbeddingCache(qbase) as qc, \
+            ref_util.EmbeddingCache(pbase) as pc:
+        fn = ref_msmarco_data.GetTripletTrainingDataProcessingFn(args, qc, pc)
+        ref_rows = [r for i, line in enumerate(lines) for r in fn(line, i)]
+
+    triples = expand_triples(lines)
+    batches = TripletBatches(TokenCache(qbase), TokenCache(pbase),
+                             triples, batch_size=triples.shape[0])
+    batch = next(iter(batches.epoch(0)))
+
+    assert len(ref_rows) == triples.shape[0] == 5
+    for t, row in enumerate(ref_rows):
+        q_ids, q_mask, _, p_ids, p_mask, _, n_ids, n_mask, _ = row
+        np.testing.assert_array_equal(batch["query_ids"][t], q_ids.numpy())
+        np.testing.assert_array_equal(
+            batch["query_mask"][t], q_mask.numpy().astype(np.int32))
+        np.testing.assert_array_equal(batch["pos_ids"][t], p_ids.numpy())
+        np.testing.assert_array_equal(
+            batch["pos_mask"][t], p_mask.numpy().astype(np.int32))
+        np.testing.assert_array_equal(batch["neg_ids"][t], n_ids.numpy())
+        np.testing.assert_array_equal(
+            batch["neg_mask"][t], n_mask.numpy().astype(np.int32))
