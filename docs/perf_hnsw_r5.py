@@ -34,7 +34,7 @@ D = 768
 Q = 512
 K = 10
 BUILD_BUDGET_S = float(os.environ.get("ANCE_HNSW_BUILD_BUDGET_S", 2700))
-PROBE = 20_000
+PROBE = int(os.environ.get("ANCE_HNSW_PROBE", 2_000))
 
 
 def emit(**kw):
@@ -75,7 +75,11 @@ def main():
     if n_fit < N:
         emit(note="build budget caps N", inserts_per_s=round(rate, 1),
              requested_n=N, budget_s=BUILD_BUDGET_S, capped_n=n_fit)
-        N = max(100_000, (n_fit // 100_000) * 100_000)
+        # round down to 10k granularity but never below the probe size —
+        # the reference's store_n=512 graph builds at single-digit-thousands
+        # of inserts/s on one core, so honesty means a small N, not a
+        # budget-busting 100k floor
+        N = max(PROBE, (n_fit // 10_000) * 10_000)
     emit(stage="probe", inserts_per_s=round(rate, 1), n=N)
 
     corpus = rs.randn(N, D).astype(np.float32)
